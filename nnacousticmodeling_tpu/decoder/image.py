@@ -167,6 +167,7 @@ def make_synthetic_image(
     num_states: Optional[int] = None,
     seed: int = 0,
     full_context: bool = True,
+    tied: bool = True,
 ) -> HmmImage:
     """Random but structurally consistent image for tests.
 
@@ -189,7 +190,15 @@ def make_synthetic_image(
     biphone_out = np.array([b * P + c for a, b, c in tris], dtype=np.int32)
     if num_states is None:
         num_states = 3 * P + 2
-    state_idxs = rng.integers(0, num_states, size=(T3, 3)).astype(np.int32)
+    if tied:
+        state_idxs = rng.integers(0, num_states, size=(T3, 3)).astype(np.int32)
+    else:
+        # context-independent: phone b's states use pdfs 3b, 3b+1, 3b+2
+        # (requires num_states >= 3P); lets tests peak one phone uniquely
+        if num_states < 3 * P:
+            raise ValueError("untied image needs num_states >= 3*num_phones")
+        state_idxs = np.array([[3 * b, 3 * b + 1, 3 * b + 2] for a, b, c in tris],
+                              dtype=np.int32)
     self_p = rng.uniform(0.3, 0.8, size=(T3, 3))
     tp_selfloop = np.log(self_p).astype(np.float32)
     tp_transition = np.log(1.0 - self_p).astype(np.float32)

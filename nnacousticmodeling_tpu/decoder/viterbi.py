@@ -146,10 +146,16 @@ class ViterbiDecoder:
         while t >= 0:
             tri = int(best_i[t, mxi])
             end = t + 1
+            t_prev = t
             t = int(best_t[t, mxi])
             begin = t + 1
             segments.append((begin, end, img.phone_names[tri]))
             mxi = int(img.biphone_in[tri])
+            if t >= t_prev:
+                # no complete path exists (utterance shorter than the
+                # 3-state HMM): the native decoder's backtrace loops
+                # forever here (phone_recog.cpp:236-244); we stop.
+                break
         segments.reverse()
         return DecodeResult(segments=segments)
 

@@ -1,0 +1,123 @@
+"""Decoder tests.
+
+The strongest oracle in the tree: the prebuilt native recognizer
+``/root/reference/recog/PhoneRecog`` runs on this machine and consumes
+the same image + .lab formats, so the JAX Viterbi must produce
+segment-identical MLFs on synthetic images and posteriors.
+"""
+
+import subprocess
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from nnacousticmodeling_tpu.decoder import (
+    HmmImage, load_image, save_image, make_synthetic_image, ViterbiDecoder,
+)
+from nnacousticmodeling_tpu.io import save_bin, load_mlf, write_mlf
+
+PHONERECOG = "/root/reference/recog/PhoneRecog"
+
+
+def test_image_roundtrip(tmp_path):
+    img = make_synthetic_image(num_phones=3, seed=1)
+    f = str(tmp_path / "syn.img")
+    save_image(f, img)
+    img2 = load_image(f).validate()
+    np.testing.assert_array_equal(img.state_idxs, img2.state_idxs)
+    np.testing.assert_array_equal(img.out_values, img2.out_values)
+    np.testing.assert_allclose(img.tp_selfloop, img2.tp_selfloop)
+    np.testing.assert_allclose(img.lm, img2.lm)
+    assert img.phone_names == img2.phone_names
+
+
+def test_dense_fanin_matches_csr():
+    img = make_synthetic_image(num_phones=4, seed=2)
+    fanin = img.dense_fanin()
+    for b in range(img.num_biphones):
+        csr = img.out_values[img.out_offsets[b]:img.out_offsets[b + 1]]
+        dense = fanin[b][fanin[b] >= 0]
+        np.testing.assert_array_equal(csr, dense)
+
+
+def _decode_with_native(tmp_path, img, posteriors, pip, lmw):
+    """Run the reference binary on .lab files; return its parsed MLF."""
+    img_file = str(tmp_path / "syn.img")
+    save_image(img_file, img)
+    scp_lines = []
+    for i, lp in enumerate(posteriors):
+        lab = tmp_path / f"utt{i:03d}.lab"
+        save_bin(str(lab), lp.astype(np.float32))
+        scp_lines.append(str(lab))
+    scp = tmp_path / "test.scp"
+    scp.write_text("\n".join(scp_lines) + "\n")
+    out = str(tmp_path / "native.mlf")
+    r = subprocess.run(
+        [PHONERECOG, str(scp), img_file, out, str(pip), str(lmw)],
+        capture_output=True, text=True)
+    assert r.returncode == 0, r.stdout + r.stderr
+    return load_mlf(out)
+
+
+@pytest.mark.parametrize("seed,pip,lmw", [(0, 20.0, 1.0), (1, 5.0, 2.5),
+                                          (2, 0.0, 1.0)])
+def test_viterbi_matches_native_binary(tmp_path, seed, pip, lmw):
+    rng = np.random.default_rng(seed)
+    img = make_synthetic_image(num_phones=4, num_states=30, seed=seed)
+    lengths = [40, 25, 60, 5, 7]
+    posteriors = [
+        np.log(rng.dirichlet(np.ones(img.num_states), size=t)).astype(np.float32)
+        for t in lengths
+    ]
+    native = _decode_with_native(tmp_path, img, posteriors, -abs(pip), lmw)
+
+    dec = ViterbiDecoder(img, pip=pip, lmw=lmw)
+    for i, lp in enumerate(posteriors):
+        ours = dec.decode_one(lp)
+        theirs = native[f"utt{i:03d}"]
+        assert ours.phones == theirs.words, f"utt{i}: {ours.phones} vs {theirs.words}"
+        begins = [b for b, _, _ in ours.segments]
+        ends = [e for _, e, _ in ours.segments]
+        assert [b * 100000 for b in begins] == theirs.begins
+        assert [e * 100000 for e in ends] == theirs.ends
+
+
+def test_viterbi_batch_matches_single(tmp_path):
+    rng = np.random.default_rng(3)
+    img = make_synthetic_image(num_phones=3, num_states=12, seed=3)
+    lengths = [30, 12, 45]
+    posteriors = [
+        np.log(rng.dirichlet(np.ones(img.num_states), size=t)).astype(np.float32)
+        for t in lengths
+    ]
+    dec = ViterbiDecoder(img, pip=10.0, lmw=1.0)
+    singles = [dec.decode_one(lp) for lp in posteriors]
+
+    tmax = max(lengths)
+    batch = np.full((3, tmax, img.num_states), -10.0, dtype=np.float32)
+    for i, lp in enumerate(posteriors):
+        batch[i, :lp.shape[0]] = lp
+    batched = dec.decode_batch(batch, lengths)
+    for s, b in zip(singles, batched):
+        assert s.segments == b.segments
+
+
+def test_viterbi_rejects_state_mismatch():
+    img = make_synthetic_image(num_phones=3, num_states=12, seed=0)
+    dec = ViterbiDecoder(img)
+    with pytest.raises(ValueError):
+        dec.decode_one(np.zeros((5, 99), dtype=np.float32))
+
+
+def test_viterbi_prefers_likely_path():
+    """Posteriors peaked on one phone's (untied) pdfs must decode to
+    that phone, and a mid-utterance switch must be segmented."""
+    img = make_synthetic_image(num_phones=3, num_states=12, seed=5, tied=False)
+    lp = np.full((20, img.num_states), -20.0, dtype=np.float32)
+    lp[:10, [3, 4, 5]] = -0.05     # phone p1's pdfs for frames 0-9
+    lp[10:, [6, 7, 8]] = -0.05     # phone p2's pdfs for frames 10-19
+    dec = ViterbiDecoder(img, pip=1.0, lmw=1.0)
+    res = dec.decode_one(lp)
+    assert res.phones == ["p1", "p2"]
+    assert res.segments[0][0] == 0 and res.segments[-1][1] == 20
