@@ -1,0 +1,172 @@
+"""Evaluation — behavioral twin of scripts/common/evaluate.py +
+scripts/util/evaluateModelForTest.py: assembles the (master + folds +
+RPL) ensemble, computes prior-subtracted log posteriors over the test
+or dev set, decodes with the triphone Viterbi, maps phones 48->39, and
+prints ``PER: xx.xx %``.
+
+TPU re-design: the decoder runs in-process on device (no .lab file +
+subprocess boundary — evaluateModelForTest.py:87-127); the ensemble
+forward is one fused jitted computation.
+"""
+
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+
+import jax
+import numpy as np
+
+from ..decoder import ViterbiDecoder, compute_per
+from ..decoder.image import load_image
+from ..infer import ensemble_log_posteriors
+from ..io import load_mlf, load_phone_map, write_mlf
+from ..io.mlf import MlfEntry
+from ..models import Ensemble, RPL4, is_recurrent, stack_fold_params
+from ..train import load_pytree
+from .common import (
+    add_data_args, add_network_args, build_network, effective_splice,
+    load_transform, num_classes_for, prepare_features,
+)
+
+
+def build_parser():
+    parser = argparse.ArgumentParser(description="Evaluate PER")
+    add_network_args(parser)
+    add_data_args(parser)
+    parser.add_argument("--model", "-m", default="",
+                        help="single-model path (without --rpl)")
+    parser.add_argument("--recog-dir", required=True)
+    parser.add_argument("--utt-list-dir", default="data")
+    parser.add_argument("--image", default="kaldiTri1909.img",
+                        help="decoding image file inside recog-dir")
+    parser.add_argument("--PIP", type=float, default=20)
+    parser.add_argument("--LMW", type=float, default=1)
+    parser.add_argument("--ap-coef", type=float, default=1)
+    parser.add_argument("--ap-file", default="log_ap_Kaldi1909.npy")
+    parser.add_argument("--phone-map", default="phones.60-48-39.map",
+                        help="48->39 map in recog-dir ('-' = identity)")
+    parser.add_argument("--test-or-dev", default="test")
+    parser.add_argument("--rpl", action="store_true",
+                        help="ensemble mode (master/folds/rpl)")
+    parser.add_argument("--rpl-model", default="result_rpl/model")
+    parser.add_argument("--fold-model-dir", default="fold_models")
+    parser.add_argument("--fold-network-pattern", default="fold_{0}.npz")
+    parser.add_argument("--master-network", default="-")
+    parser.add_argument("--out-mlf", default=None,
+                        help="write the decoded MLF here")
+    parser.add_argument("--no-progress", action="store_true")
+    return parser
+
+
+def _model_path(p: str) -> str:
+    return p if p.endswith(".npz") else p + ".npz"
+
+
+def assemble_params(args, net, num_classes: int, in_dim: int):
+    """Load master/fold/RPL checkpoints into Ensemble params
+    (evaluate.py:105-132)."""
+    template = net.init(jax.random.PRNGKey(0), in_dim)
+    rpl = RPL4(num_classes)
+    params = {"master": None, "folds": None, "rpl": None}
+    if not args.rpl:
+        params["master"] = load_pytree(_model_path(args.model), template)
+        return Ensemble(network=net, rpl=None, num_folds=0), params
+
+    if args.master_network != "-":
+        print("Loading master network")
+        params["master"] = load_pytree(_model_path(args.master_network),
+                                       template)
+    folds = []
+    if args.fold_network_pattern != "-":
+        fold = 0
+        while True:
+            f = Path(args.fold_model_dir,
+                     args.fold_network_pattern.format(fold))
+            if not f.is_file():
+                break
+            print(f"Loading fold {fold} network")
+            folds.append(load_pytree(str(f), template))
+            fold += 1
+    if folds:
+        params["folds"] = stack_fold_params(folds)
+    use_rpl = args.rpl_model != "-"
+    if use_rpl:
+        params["rpl"] = load_pytree(_model_path(args.rpl_model),
+                                    rpl.init(jax.random.PRNGKey(0)))
+    ens = Ensemble(network=net, rpl=rpl if use_rpl else None,
+                   num_folds=len(folds))
+    return ens, params
+
+
+def main(arg_list=None):
+    parser = build_parser()
+    args = parser.parse_args(list(map(str, arg_list)) if arg_list is not None
+                             else None)
+    num_classes = num_classes_for(args)
+    net = build_network(args, num_classes)
+    split = args.test_or_dev
+
+    # ---- data (evaluate.py:163-171) -----------------------------------
+    x = np.load(str(Path(args.data_dir, args.data.format(split))))
+    offsets = np.load(str(Path(args.offset_dir, args.offsets.format(split))))
+    iv = (np.load(str(Path(args.ivector_dir, args.ivectors.format(split))))
+          if args.ivector_dir else None)
+    splice = effective_splice(args)
+    ft = load_transform(args, splice)
+    x = prepare_features(x, args, splice, ft, iv)
+
+    utt_list = [l.strip() for l in
+                open(Path(args.utt_list_dir, f"{split}.list")) if l.strip()]
+    if len(utt_list) != len(offsets) - 1:
+        raise ValueError("wrong number of utterances")
+
+    ens, params = assemble_params(args, net, num_classes, x.shape[1])
+
+    # ---- posteriors with prior subtraction (evaluateModelForTest.py:75-77)
+    ap = None
+    ap_file = Path(args.recog_dir, args.ap_file)
+    if ap_file.is_file():
+        ap = args.ap_coef * np.load(str(ap_file))
+    lp = ensemble_log_posteriors(ens, params, x,
+                                 offsets=offsets if net.is_recurrent else None,
+                                 ap=ap, timedelay=0)
+    # NOTE the reference quirk: --timedelay shifts training targets but
+    # the eval path does NOT compensate decoded boundaries
+    # (evaluateModelForTest.py:36 has no timedelay argument); we
+    # reproduce that by decoding the unshifted posterior sequence.
+
+    # ---- decode (in-process, replaces the PhoneRecog subprocess) ------
+    img = load_image(str(Path(args.recog_dir, args.image)))
+    dec = ViterbiDecoder(img, pip=args.PIP, lmw=args.LMW)
+    lengths = np.diff(offsets)
+    results = []
+    for u in range(len(utt_list)):
+        results.append(dec.decode_one(
+            np.ascontiguousarray(lp[offsets[u]:offsets[u + 1]])))
+
+    # ---- 48->39 mapping + scoring (evaluateModelForTest.py:128-133) ---
+    pm = None
+    if args.phone_map != "-":
+        pm_file = Path(args.recog_dir, args.phone_map)
+        if pm_file.is_file():
+            pm = load_phone_map(str(pm_file))
+    test_mlf = {}
+    mlf_entries = []
+    for i, (utt, res) in enumerate(zip(utt_list, results)):
+        words = [pm.get(p, p) if pm else p for p in res.phones]
+        test_mlf[utt] = MlfEntry(words=words, orig_id=i)
+        mlf_entries.append((utt, [(b, e, w) for (b, e, _), w in
+                                  zip(res.segments, words)]))
+    if args.out_mlf:
+        Path(args.out_mlf).parent.mkdir(exist_ok=True, parents=True)
+        write_mlf(args.out_mlf, mlf_entries)
+
+    ref = load_mlf(str(Path(args.recog_dir, f"{split}_ref.mlf")))
+    per = compute_per(test_mlf, ref, nist=True)
+    print(f"PER: {per:.2f} %")
+    return per
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,323 @@
+"""Staged training engine.
+
+Re-designs the reference trainer (train.py:285-389 + Chainer Trainer)
+as jitted device-resident steps:
+
+* feed-forward: per-epoch frame shuffle (SerialIterator semantics), one
+  jitted update per (batch_size) minibatch gathered on device — no
+  host->device copy per step (the reference's BPTTUpdater re-uploads
+  every minibatch, orcus_chainer_util.py:124-125);
+* recurrent: multi-stream truncated BPTT — B streams over the
+  sentence-shuffled corpus at stride N//B (SequenceShuffleIterator
+  semantics, including streams crossing utterance boundaries without
+  state reset), each update one jitted gather + ``lax.scan`` over
+  ``bprop_len`` steps, recurrent state carried across updates and
+  epochs within a stage, reset at stage starts (train.py:292-293);
+* per-stage optimizer rebuild (sgd/momentumsgd/adam), early stopping on
+  validation loss with the reference's trigger semantics
+  (chainer_kw_utils.py:75-85, eps=-0.001), and the stage-end model
+  selection rule: early-stopping stages keep the last model, fixed-epoch
+  stages reload the best-validation model (train.py:378-389).
+
+Known conscious deviations (documented, behavior-neutral at the metric
+level): epochs drop the final partial batch instead of wrapping past
+the epoch boundary, reshuffles happen at epoch starts rather than
+mid-update, and recurrent validation runs on a fresh state instead of
+leaking training state into the evaluator.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Any, Callable, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from .optimizers import make_optimizer
+from .stages import TrainStage
+from .streams import sentence_shuffle_indices, stream_batch_indices
+
+
+@dataclass
+class TrainConfig:
+    stages: List[TrainStage]
+    bprop_len: int = 20
+    seed: int = 0
+    use_validation: bool = True
+    log: Optional[Callable[[str], None]] = print
+    eval_chunk: int = 8192
+
+
+@dataclass
+class TrainResult:
+    params: Any
+    history: List[dict] = field(default_factory=list)
+
+
+def _loss_acc(logits, targets):
+    loss = optax.softmax_cross_entropy_with_integer_labels(logits, targets)
+    acc = (jnp.argmax(logits, axis=-1) == targets).astype(jnp.float32)
+    return loss.mean(), acc.mean()
+
+
+def train_network(
+    net,
+    x: np.ndarray,
+    y: np.ndarray,
+    config: TrainConfig,
+    offsets: Optional[np.ndarray] = None,
+    x_dev: Optional[np.ndarray] = None,
+    y_dev: Optional[np.ndarray] = None,
+    init_params: Any = None,
+    apply_fn: Optional[Callable] = None,
+) -> TrainResult:
+    """Train ``net`` through the configured stages.
+
+    ``apply_fn(params, xb, rng, train) -> logits`` may override the
+    network's own apply (used for RPL heads which train on logits).
+    """
+    rng_np = np.random.default_rng(config.seed)
+    key = jax.random.PRNGKey(config.seed)
+    log = config.log or (lambda s: None)
+
+    if init_params is None:
+        key, k0 = jax.random.split(key)
+        params = net.init(k0, x.shape[1])
+    else:
+        params = init_params
+
+    xd = jnp.asarray(x)
+    yd = jnp.asarray(y)
+    use_val = config.use_validation and x_dev is not None
+    if use_val:
+        xvd = jnp.asarray(x_dev)
+        yvd = jnp.asarray(y_dev)
+
+    recurrent = getattr(net, "is_recurrent", False) and apply_fn is None
+    history: List[dict] = []
+
+    for si, stage in enumerate(config.stages):
+        if stage.optimizer == "adam":
+            log(f"=== Training stage {si}: epoch = {stage.epoch}, batch size = "
+                f"{stage.batch_size}, optimizer = adam, early stopping = "
+                f"{stage.early_stopping}")
+        else:
+            log(f"=== Training stage {si}: epoch = {stage.epoch}, batch size = "
+                f"{stage.batch_size}, optimizer = {stage.optimizer}, learning "
+                f"rate = {stage.lr}, early stopping = {stage.early_stopping}")
+        opt = make_optimizer(stage.optimizer, stage.lr)
+        opt_state = opt.init(params)
+        bs = stage.batch_size
+
+        if recurrent:
+            run_epoch, evaluate, state = _make_rnn_stage(
+                net, opt, xd, yd, offsets, config, bs,
+                (xvd, yvd) if use_val else None)
+        else:
+            run_epoch, evaluate = _make_ff_stage(
+                net, opt, xd, yd, config, bs,
+                (xvd, yvd) if use_val else None, apply_fn)
+            state = None
+
+        best_val = None
+        best_params = None
+        stopped_early = False
+        for epoch in range(stage.epoch):
+            t0 = time.time()
+            key, ek = jax.random.split(key)
+            if recurrent:
+                params, opt_state, state, tr_loss, tr_acc = run_epoch(
+                    params, opt_state, state, ek, rng_np)
+            else:
+                params, opt_state, tr_loss, tr_acc = run_epoch(
+                    params, opt_state, ek, rng_np)
+            entry = {"stage": si, "epoch": epoch + 1,
+                     "main/loss": float(tr_loss), "main/accuracy": float(tr_acc),
+                     "elapsed_time": time.time() - t0}
+            if use_val:
+                val_loss, val_acc = evaluate(params)
+                entry["validation/main/loss"] = float(val_loss)
+                entry["validation/main/accuracy"] = float(val_acc)
+            history.append(entry)
+            log("  " + "  ".join(f"{k}={v:.4f}" if isinstance(v, float) else
+                                 f"{k}={v}" for k, v in entry.items()))
+
+            if use_val:
+                val = entry["validation/main/loss"]
+                if not stage.early_stopping:
+                    if best_val is None or val < best_val:
+                        best_val = val
+                        best_params = jax.tree_util.tree_map(jnp.copy, params)
+                else:
+                    # EarlyStoppingTrigger semantics (eps = -0.001):
+                    # stop when val exceeds the best seen by > 1e-3
+                    if best_val is None:
+                        best_val = val
+                    else:
+                        stop = (best_val - val) < -0.001
+                        if val < best_val:
+                            best_val = val
+                        if stop:
+                            stopped_early = True
+                            break
+
+        if not stage.early_stopping and best_params is not None:
+            # fixed-epoch stages keep the best-validation model
+            # (train.py:386-389)
+            params = best_params
+        # early-stopping stages keep the last model (train.py:378-384)
+        del opt_state
+
+    return TrainResult(params=params, history=history)
+
+
+# ---------------------------------------------------------------------------
+# feed-forward stage
+# ---------------------------------------------------------------------------
+
+def _make_ff_stage(net, opt, xd, yd, config, bs, val, apply_fn):
+    apply = apply_fn or (lambda p, xb, rng, train: net.apply(
+        p, xb, rng=rng, train=train))
+
+    @jax.jit
+    def update(params, opt_state, idx, rng, xd, yd):
+        xb = jnp.take(xd, idx, axis=0)
+        yb = jnp.take(yd, idx, axis=0)
+
+        def loss_fn(p):
+            logits = apply(p, xb, rng, True)
+            return _loss_acc(logits, yb)
+
+        (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss, acc
+
+    n = int(xd.shape[0])
+    steps = max(n // bs, 1)
+
+    def run_epoch(params, opt_state, key, rng_np):
+        perm = rng_np.permutation(n)
+        losses, accs = [], []
+        for s in range(steps):
+            key, sk = jax.random.split(key)
+            idx = jnp.asarray(perm[s * bs:(s + 1) * bs])
+            params, opt_state, loss, acc = update(params, opt_state, idx, sk,
+                                                  xd, yd)
+            losses.append(loss)
+            accs.append(acc)
+        return (params, opt_state,
+                float(jnp.mean(jnp.stack(losses))),
+                float(jnp.mean(jnp.stack(accs))))
+
+    if val is None:
+        return run_epoch, None
+    xv, yv = val
+
+    @jax.jit
+    def eval_chunk_fn(params, xb, yb, mask):
+        logits = apply(params, xb, None, False)
+        loss = optax.softmax_cross_entropy_with_integer_labels(logits, yb)
+        correct = (jnp.argmax(logits, -1) == yb).astype(jnp.float32)
+        return (loss * mask).sum(), (correct * mask).sum()
+
+    def evaluate(params):
+        nv = int(xv.shape[0])
+        chunk = config.eval_chunk
+        tot_l = tot_c = 0.0
+        for beg in range(0, nv, chunk):
+            end = min(beg + chunk, nv)
+            xb = xv[beg:end]
+            yb = yv[beg:end]
+            mask = jnp.ones(end - beg, jnp.float32)
+            if end - beg < chunk:
+                pad = chunk - (end - beg)
+                xb = jnp.pad(xb, ((0, pad), (0, 0)))
+                yb = jnp.pad(yb, (0, pad))
+                mask = jnp.pad(mask, (0, pad))
+            l, c = eval_chunk_fn(params, xb, yb, mask)
+            tot_l += float(l)
+            tot_c += float(c)
+        return tot_l / nv, tot_c / nv
+
+    return run_epoch, evaluate
+
+
+# ---------------------------------------------------------------------------
+# recurrent (multi-stream TBPTT) stage
+# ---------------------------------------------------------------------------
+
+def _make_rnn_stage(net, opt, xd, yd, offsets, config, bs, val):
+    L = config.bprop_len
+    n = int(xd.shape[0])
+
+    @jax.jit
+    def update(params, opt_state, state, idx, rng, xd, yd):
+        xb = jnp.take(xd, idx.reshape(-1), axis=0).reshape(bs, L, -1)
+        yb = jnp.take(yd, idx.reshape(-1), axis=0).reshape(bs, L)
+
+        def loss_fn(p):
+            logits, new_state = net.apply_sequence(p, xb, state, rng=rng,
+                                                   train=True)
+            loss = optax.softmax_cross_entropy_with_integer_labels(logits, yb)
+            # Chainer BPTTUpdater: sum over bprop steps of batch-mean loss
+            total = loss.mean(axis=0).sum()
+            acc = (jnp.argmax(logits, -1) == yb).astype(jnp.float32).mean()
+            return total, (new_state, acc)
+
+        (loss, (new_state, acc)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, new_state, loss / L, acc
+
+    steps = max(n // (bs * L), 1)
+
+    def run_epoch(params, opt_state, state, key, rng_np):
+        shuffled = sentence_shuffle_indices(offsets, n, rng_np)
+        losses, accs = [], []
+        for s in range(steps):
+            key, sk = jax.random.split(key)
+            idx = stream_batch_indices(shuffled, bs, s * L, L)
+            params, opt_state, state, loss, acc = update(
+                params, opt_state, state, jnp.asarray(idx), sk, xd, yd)
+            losses.append(loss)
+            accs.append(acc)
+        return (params, opt_state, state,
+                float(jnp.mean(jnp.stack(losses))),
+                float(jnp.mean(jnp.stack(accs))))
+
+    state0 = net.init_state(bs)
+
+    if val is None:
+        return run_epoch, None, state0
+    xv, yv = val
+    nv = int(xv.shape[0])
+    vsteps = max(nv // bs, 1)
+    # stream layout over the dev set (in order, no shuffle):
+    # stream b reads frames [b*nv//bs + t]
+    v_offsets = (np.arange(bs, dtype=np.int64) * nv) // bs
+    v_idx = (v_offsets[:, None] + np.arange(vsteps)[None, :]) % nv  # (bs, vsteps)
+    xv_streams = jnp.take(xv, jnp.asarray(v_idx.reshape(-1)), axis=0
+                          ).reshape(bs, vsteps, -1)
+    yv_streams = jnp.take(yv, jnp.asarray(v_idx.reshape(-1)), axis=0
+                          ).reshape(bs, vsteps)
+
+    @jax.jit
+    def eval_fn(params):
+        logits, _ = net.apply_sequence(params, xv_streams, None)
+        loss = optax.softmax_cross_entropy_with_integer_labels(
+            logits, yv_streams).mean()
+        acc = (jnp.argmax(logits, -1) == yv_streams).astype(jnp.float32).mean()
+        return loss, acc
+
+    def evaluate(params):
+        l, a = eval_fn(params)
+        return float(l), float(a)
+
+    return run_epoch, evaluate, state0

@@ -1,0 +1,70 @@
+"""Full-pipeline integration tests on a synthetic dataset tree:
+the six-phase master orchestration (folds -> master -> fold nets ->
+predictions -> RPL -> ensemble evaluation) producing real PER numbers
+through the in-process Viterbi decode."""
+
+import numpy as np
+import pytest
+
+from nnacousticmodeling_tpu.pipeline.master import main as master_main
+from nnacousticmodeling_tpu.pipeline.synth_data import main as synth_main
+from nnacousticmodeling_tpu.pipeline.train_cli import main as train_main
+from nnacousticmodeling_tpu.pipeline.evaluate import main as evaluate_main
+
+
+@pytest.fixture(scope="module")
+def corpus_root(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("syncorpus"))
+    synth_main(["--root", root, "--num-phones", 5, "--dim", 16,
+                "--num-train", 40, "--num-dev", 12, "--num-test", 10,
+                "--noise", 0.5, "--seed", 1])
+    return root
+
+
+def test_single_ff_train_and_eval(corpus_root, tmp_path):
+    out = str(tmp_path / "ff_model")
+    train_main(["--num-classes", "17", "--out", out, "-n", "ff", "-l", "2",
+                "-u", "64",
+                "--data-dir", f"{corpus_root}/data",
+                "--offset-dir", f"{corpus_root}/data",
+                "--target-dir", f"{corpus_root}/data",
+                "--epoch", "4", "-o", "adam", "-b", "256",
+                "--early-stopping", "false", "--seed", "0"])
+    per = evaluate_main(["--num-classes", "17", "-n", "ff", "-l", "2",
+                         "-u", "64",
+                         "--model", f"{out}/model",
+                         "--data-dir", f"{corpus_root}/data",
+                         "--offset-dir", f"{corpus_root}/data",
+                         "--utt-list-dir", f"{corpus_root}/data",
+                         "--recog-dir", f"{corpus_root}/recog",
+                         "--ap-file", "log_ap_Kaldi1909.npy",
+                         "--PIP", "5", "--test-or-dev", "test"])
+    assert per < 40.0, f"trained FF PER too high: {per}"
+
+
+def test_master_pipeline_ensemble(corpus_root):
+    """All six phases with 2 folds + master + RPL; every ensemble combo
+    evaluates and the fold ensemble must beat chance decisively."""
+    results = master_main([
+        "--num-folds", "2", "--gen-folds",
+        "--data-dir", f"{corpus_root}/data",
+        "--offset-dir", f"{corpus_root}/data",
+        "--target-dir", f"{corpus_root}/data",
+        "--utt-list-dir", f"{corpus_root}/data",
+        "--recog-dir", f"{corpus_root}/recog",
+        "--output-dir", f"{corpus_root}/results",
+        "--output-id", "t1",
+        "--network-spec=-n gru -l 1 -u 48",
+        "--rpl-train-setup=-b 512 --epoch 2 -o adam --early-stopping false",
+        "--epoch", "3", "-o", "adam", "-b", "8",
+        "--early-stopping", "false",
+        "--PIP", "5", "--seed", "0", "--num-classes", "17",
+        "--eval-data", "test",
+    ])
+    assert len(results) == 6  # 2^3 minus the two no-model combos
+    for key, per in results.items():
+        assert per < 60.0, f"{key}: PER {per}"
+    # the full ensemble should be competitive with the master alone
+    full = results[("test", "+folds +master -rpl")]
+    master_only = results[("test", "-folds +master -rpl")]
+    assert full <= master_only + 15.0

@@ -1,0 +1,175 @@
+"""Training engine tests: schedule semantics, stream layout vs a direct
+transcription of the reference iterator, learning on synthetic data,
+early stopping, checkpoint roundtrip."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from nnacousticmodeling_tpu.decoder import make_synthetic_image
+from nnacousticmodeling_tpu.models import get_network, RPL4
+from nnacousticmodeling_tpu.train import (
+    TrainConfig, TrainStage, build_stages, index_padded, train_network,
+    sentence_shuffle_indices, stream_batch_indices,
+    save_pytree, load_pytree,
+)
+from nnacousticmodeling_tpu.utils.synthetic import make_synthetic_corpus
+
+
+def test_index_padded():
+    assert index_padded([1, 2, 3], 0) == 1
+    assert index_padded([1, 2, 3], 5) == 3
+
+
+def test_build_stages_padding():
+    stages = build_stages([20], ["adam", "momentumsgd"], [512, 128],
+                          [1e-2, 1e-3, 1e-4, 1e-5], [True])
+    assert len(stages) == 4
+    assert [s.epoch for s in stages] == [20, 20, 20, 20]
+    assert [s.optimizer for s in stages] == ["adam", "momentumsgd",
+                                             "momentumsgd", "momentumsgd"]
+    assert [s.batch_size for s in stages] == [512, 128, 128, 128]
+    assert [s.lr for s in stages] == [1e-2, 1e-3, 1e-4, 1e-5]
+
+
+def test_sentence_shuffle_preserves_order_within_utts(rng):
+    offsets = np.array([0, 3, 8, 10])
+    idx = sentence_shuffle_indices(offsets, 10, rng)
+    assert sorted(idx.tolist()) == list(range(10))
+    # each utterance's frames appear contiguous and in order
+    s = idx.tolist()
+    for beg, end in [(0, 3), (3, 8), (8, 10)]:
+        frames = list(range(beg, end))
+        pos = s.index(frames[0])
+        assert s[pos:pos + len(frames)] == frames
+
+
+def test_stream_batch_indices_match_reference_iterator():
+    """Direct transcription of SequenceShuffleIterator.get_data
+    (orcus_chainer_util.py:66,94-98) as the oracle."""
+    n, batch_size, L = 37, 4, 5
+    shuffled = np.random.default_rng(1).permutation(n)
+    offsets = [i * n // batch_size for i in range(batch_size)]
+
+    def ref_get(iteration):
+        return [shuffled[(off + iteration) % n] for off in offsets]
+
+    for start in [0, 3, 30]:
+        got = stream_batch_indices(shuffled, batch_size, start, L)
+        for t in range(L):
+            assert got[:, t].tolist() == ref_get(start + t)
+
+
+@pytest.fixture(scope="module")
+def syn():
+    img = make_synthetic_image(num_phones=4, num_states=16, seed=3, tied=False)
+    return img, make_synthetic_corpus(img, dim=10, num_train=24, num_dev=8,
+                                      num_test=4, noise=0.4, seed=3)
+
+
+def test_ff_training_learns(syn):
+    _, corpus = syn
+    net = get_network("ff", 2, [32], 16)
+    cfg = TrainConfig(
+        stages=[TrainStage(epoch=5, optimizer="adam", batch_size=128,
+                           lr=1e-3, early_stopping=False)],
+        seed=0, log=None)
+    res = train_network(net, corpus.train.data, corpus.train.targets, cfg,
+                        x_dev=corpus.dev.data, y_dev=corpus.dev.targets)
+    assert res.history[-1]["main/accuracy"] > 0.6
+    assert res.history[-1]["main/loss"] < res.history[0]["main/loss"]
+    assert "validation/main/loss" in res.history[-1]
+
+
+def test_rnn_training_learns(syn):
+    _, corpus = syn
+    net = get_network("gru", 1, [32], 16)
+    cfg = TrainConfig(
+        stages=[TrainStage(epoch=6, optimizer="adam", batch_size=16,
+                           lr=1e-3, early_stopping=False)],
+        bprop_len=10, seed=0, log=None)
+    res = train_network(net, corpus.train.data, corpus.train.targets, cfg,
+                        offsets=corpus.train.offsets,
+                        x_dev=corpus.dev.data, y_dev=corpus.dev.targets)
+    assert res.history[-1]["main/accuracy"] > 0.5
+    assert res.history[-1]["main/loss"] < res.history[0]["main/loss"]
+
+
+def test_multi_stage_switches_optimizer(syn):
+    _, corpus = syn
+    net = get_network("ff", 1, [16], 16)
+    cfg = TrainConfig(
+        stages=build_stages([2], ["adam", "momentumsgd"], [64], [1e-2],
+                            [False]),
+        seed=0, log=None)
+    res = train_network(net, corpus.train.data, corpus.train.targets, cfg,
+                        x_dev=corpus.dev.data, y_dev=corpus.dev.targets)
+    assert {h["stage"] for h in res.history} == {0, 1}
+
+
+def test_early_stopping_fires(syn):
+    """A huge LR makes validation loss blow up -> stage must stop before
+    max epochs (trigger: val exceeds best by > 1e-3)."""
+    _, corpus = syn
+    net = get_network("ff", 1, [16], 16)
+    cfg = TrainConfig(
+        stages=[TrainStage(epoch=50, optimizer="momentumsgd", batch_size=64,
+                           lr=5.0, early_stopping=True)],
+        seed=0, log=None)
+    res = train_network(net, corpus.train.data, corpus.train.targets, cfg,
+                        x_dev=corpus.dev.data, y_dev=corpus.dev.targets)
+    assert len(res.history) < 50
+
+
+def test_rpl_training_path(syn):
+    """RPL4 trains on (fold-output logits, targets) pairs via apply_fn;
+    zero-init means it starts as floored log-softmax and must stay
+    finite while improving CE."""
+    _, corpus = syn
+    rpl = RPL4(16)
+    rpl_params = rpl.init(jax.random.PRNGKey(0))
+    # fake fold outputs: noisy one-hot log posteriors
+    rng = np.random.default_rng(0)
+    n = corpus.train.num_frames
+    x = rng.standard_normal((n, 16)).astype(np.float32) * 0.5
+    x[np.arange(n), corpus.train.targets] += 3.0
+
+    class _RplNet:
+        is_recurrent = False
+        def init(self, key, in_dim):
+            return rpl_params
+        def apply(self, p, xb, rng=None, train=False):
+            return rpl.apply(p, xb)
+
+    cfg = TrainConfig(
+        stages=[TrainStage(epoch=3, optimizer="adam", batch_size=256,
+                           lr=1e-3, early_stopping=False)],
+        seed=0, log=None, use_validation=False)
+    res = train_network(_RplNet(), x, corpus.train.targets, cfg)
+    assert res.history[-1]["main/loss"] <= res.history[0]["main/loss"]
+    assert np.isfinite(np.asarray(res.params["w"])).all()
+
+
+def test_checkpoint_roundtrip(tmp_path, syn):
+    _, corpus = syn
+    net = get_network("lstm", 2, [8], 16)
+    params = net.init(jax.random.PRNGKey(0), 10)
+    f = str(tmp_path / "model.npz")
+    save_pytree(f, params)
+    template = net.init(jax.random.PRNGKey(1), 10)
+    restored = load_pytree(f, template)
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_checkpoint_shape_mismatch(tmp_path):
+    net = get_network("ff", 1, [8], 5)
+    params = net.init(jax.random.PRNGKey(0), 4)
+    f = str(tmp_path / "model.npz")
+    save_pytree(f, params)
+    other = net.init(jax.random.PRNGKey(0), 6)   # different in_dim
+    with pytest.raises(ValueError):
+        load_pytree(f, other)
