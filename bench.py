@@ -42,6 +42,16 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import jax
 import jax.numpy as jnp
 
+# persistent compilation cache: makes driver re-runs skip the slow
+# tunnel-side compile when the program is unchanged
+try:
+    jax.config.update("jax_compilation_cache_dir",
+                      str(Path(tempfile.gettempdir()) / "jax_cache"))
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+except Exception:
+    pass
+
 CACHE = Path(tempfile.gettempdir()) / "nnam_tpu_bench"
 PHONERECOG = "/root/reference/recog/PhoneRecog"
 
@@ -49,7 +59,7 @@ NUM_UTTS = 64
 FRAMES_PER_UTT = 400          # ~4 s of audio at 100 fps
 DIM = 40
 BUCKET = 512
-BATCH = 16
+BATCH = 32
 BASELINE_UTTS = 2
 BASELINE_MAX_FRAMES = 120   # per-timestep loop measured on a slice and
                             # scaled per audio-second (tunnel dispatch is
@@ -96,12 +106,16 @@ def main():
     params = net.init(jax.random.PRNGKey(0), DIM)
     log("params init")
 
-    @jax.jit
-    def forward(p, xs):
-        logits, _ = net.apply_sequence(p, xs)
-        return log_softmax(logits, axis=-1)
-
     dec = ViterbiDecoder(img, pip=20.0, lmw=1.0)
+    decode = dec.decode_fn()
+
+    # forward + log-softmax + Viterbi + backtrace fused in ONE compiled
+    # program: nothing but (segments, counts) leaves the device
+    @jax.jit
+    def pipeline(p, xs, lens):
+        logits, _ = net.apply_sequence(p, xs)
+        lp = log_softmax(logits, axis=-1)
+        return decode(lp, lens)
 
     # pack utterances into fixed (BATCH, BUCKET, DIM) buckets
     batches = []
@@ -110,13 +124,16 @@ def main():
         xb = np.zeros((BATCH, BUCKET, DIM), dtype=np.float32)
         for row, u in enumerate(ids):
             xb[row, :lengths[u]] = x[offsets[u]:offsets[u + 1]]
-        batches.append((jnp.asarray(xb), [int(lengths[u]) for u in ids]))
+        batches.append((jnp.asarray(xb),
+                        jnp.asarray([int(lengths[u]) for u in ids],
+                                    dtype=jnp.int32)))
 
     def run_ours():
         results = []
         for xb, lens in batches:
-            lp = forward(params, xb)
-            results.extend(dec.decode_batch(np.asarray(lp), lens))
+            segs, counts = pipeline(params, xb, lens)
+            results.extend(dec._to_results(np.asarray(segs),
+                                           np.asarray(counts)))
         return results
 
     # warmup (compile both stages)

@@ -1,0 +1,63 @@
+// Triphone-HMM Viterbi decoder over the compiled decoding image.
+//
+// Image byte format and decoding semantics are the contract
+// reverse-specified from the reference recognizer
+// (recog_src/source/phone_recog.cpp:84-254); the implementation here is
+// our own host-side counterpart of the TPU decoder in
+// nnacousticmodeling_tpu/decoder/viterbi.py, used for the drop-in
+// `phonerecog` CLI and as a ctypes-loadable library.
+#pragma once
+
+#include <cstdint>
+#include <string>
+#include <vector>
+
+#include "matrix_io.h"
+
+namespace nnam {
+
+struct Image {
+  int32_t num_phones = 0;
+  int32_t num_biphones = 0;
+  int32_t num_triphones = 0;
+  int32_t num_states = 0;
+  std::vector<int32_t> start_idxs;    // per phone: entry biphone
+  std::vector<int32_t> end_idxs;      // per phone: final biphone
+  std::vector<int32_t> biphone_in;    // per triphone
+  std::vector<int32_t> biphone_out;   // per triphone
+  std::vector<int32_t> state_idxs;    // 3 pdf ids per triphone
+  std::vector<float> tp_selfloop;     // 3 per triphone (log)
+  std::vector<float> tp_transition;   // 3 per triphone (log)
+  std::vector<int32_t> out_offsets;   // CSR over biphones
+  std::vector<int32_t> out_values;    // triphones feeding each biphone
+  std::vector<float> lm;              // per biphone (LMW applied at load)
+  std::vector<std::string> phone_names;  // per triphone
+
+  bool Load(const std::string& path, float lmw);
+};
+
+struct Segment {
+  int32_t begin = 0;  // frame index
+  int32_t end = 0;    // frame index (exclusive, +1 like the reference)
+  int32_t triphone = 0;
+};
+
+class Decoder {
+ public:
+  // pip is passed as the CLI does (negative penalty); it is added on
+  // every phone entry.
+  Decoder(const Image& image, float pip) : img_(image), pip_(pip) {}
+
+  // log_probs: (num_frames, num_states) row-major. Returns segments in
+  // temporal order; empty on state-count mismatch.
+  std::vector<Segment> Decode(const float* log_probs, int32_t num_frames,
+                              int32_t num_states) const;
+
+  const Image& image() const { return img_; }
+
+ private:
+  const Image& img_;
+  float pip_;
+};
+
+}  // namespace nnam

@@ -14,8 +14,11 @@ Behavioral twin of the native recognizer's token passing
 * ``jnp.argmax``'s first-max tie-breaking over the CSR-ordered fan-in
   matrix reproduces the native decoder's strict ``<`` update order;
 * frames scan via ``lax.scan``; utterances batch via ``vmap`` with
-  length masking; the backtrace (sequential, tiny) runs on host over
-  the int32 backpointer matrices the scan emits.
+  length masking; backpointers stay ON DEVICE, packed as one int32 per
+  (frame, biphone) — ``triphone * 2048 + entry_time`` — and the
+  backtrace runs as a vmapped ``lax.while_loop``, so only the final
+  (segments, counts) tensors ever reach the host (the posterior and
+  backpointer matrices never cross the interconnect).
 
 Decode-relevant quirks preserved: initial mass ``lm[start_p] - log(P)``
 on each phone's start biphone (phone_recog.cpp:148), the phone
@@ -36,7 +39,8 @@ import numpy as np
 
 from .image import HmmImage
 
-NEG_INF = -1.0e20  # the reference's infinity stand-in
+NEG_INF = -1.0e20   # the reference's infinity stand-in
+TIME_PACK = 2048    # packed backpointer: tri * TIME_PACK + (t_entry + 1)
 
 
 @dataclass
@@ -61,6 +65,8 @@ class ViterbiDecoder:
         self.lmw = lmw
 
         img = image
+        if img.num_triphones * TIME_PACK >= 2 ** 31:
+            raise ValueError("image too large for packed backpointers")
         self._biphone_in = jnp.asarray(img.biphone_in)
         self._state_idxs = jnp.asarray(img.state_idxs)           # (T3, 3)
         self._tp_self = jnp.asarray(img.tp_selfloop)             # (T3, 3)
@@ -69,6 +75,7 @@ class ViterbiDecoder:
         fanin = img.dense_fanin()                                # (B, F) ids, -1 pad
         self._fanin = jnp.asarray(fanin)
         self._fanin_valid = jnp.asarray(fanin >= 0)
+        self._fanin_any = jnp.asarray(fanin.max(axis=1) >= 0)
         self._end_idxs = jnp.asarray(img.end_idxs)               # (P,)
 
         # initial biphone scores: lm[start_p] - log(P) on start biphones
@@ -79,11 +86,12 @@ class ViterbiDecoder:
                 np.float32(img.num_phones))
         self._p0 = jnp.asarray(p0)
 
-        self._scan_fn = jax.jit(self._make_scan())
-        self._scan_fn_batched = jax.jit(jax.vmap(self._make_scan()))
+        self._decode_jit = jax.jit(jax.vmap(self._decode_device),
+                                   static_argnums=())
 
     # ------------------------------------------------------------------
-    def _make_scan(self):
+    def _forward_scan(self, lp):
+        """lp (T, S) -> packed backpointers (T, B) int32 + end scores."""
         biphone_in = self._biphone_in
         state_idxs = self._state_idxs
         tp_self = self._tp_self
@@ -91,12 +99,12 @@ class ViterbiDecoder:
         lm = self._lm
         fanin = self._fanin
         fanin_valid = self._fanin_valid
-        end_idxs = self._end_idxs
+        fanin_any = self._fanin_any
         pip = jnp.float32(self.pip)
         t3 = self.image.num_triphones
 
         def frame_step(carry, inp):
-            p, pp, tt = carry          # p (B,), pp (T3,3), tt (T3,3) int32
+            p, pp, tt = carry          # p (B,), pp (T3,3) f32, tt (T3,3) i32
             lp_t, k = inp              # lp_t (S,), k frame index
             p_in = p[biphone_in] + pip                     # (T3,)
             obs = lp_t[state_idxs]                         # (T3, 3)
@@ -114,80 +122,105 @@ class ViterbiDecoder:
             gathered = jnp.where(fanin_valid, out_score[fanin], NEG_INF)  # (B, F)
             col = jnp.argmax(gathered, axis=1)             # first max = CSR order
             mx = jnp.take_along_axis(gathered, col[:, None], axis=1)[:, 0]
-            best_i = jnp.where(fanin_valid.any(axis=1),
+            best_i = jnp.where(fanin_any,
                                jnp.take_along_axis(fanin, col[:, None], axis=1)[:, 0],
                                0)                          # C++ default mxi=0
             p_new = mx + lm
             best_t = tt_new[best_i, 2]
-            end_scores = p_new[end_idxs]                   # (P,)
-            return (p_new, pp_new, tt_new), (best_i, best_t, end_scores)
+            packed = best_i * TIME_PACK + (best_t + 1)     # entry time >= -1
+            end_scores = p_new[self._end_idxs]             # (P,)
+            return (p_new, pp_new, tt_new), (packed, end_scores)
 
-        def run(lp):
-            """lp: (T, S) log posteriors -> backpointers + end scores."""
-            T = lp.shape[0]
-            pp0 = jnp.full((t3, 3), NEG_INF, dtype=jnp.float32)
-            tt0 = jnp.zeros((t3, 3), dtype=jnp.int32)
-            ks = jnp.arange(T, dtype=jnp.int32)
-            _, (best_i, best_t, end_scores) = jax.lax.scan(
-                frame_step, (self._p0, pp0, tt0), (lp, ks))
-            return best_i, best_t, end_scores
-
-        return run
+        T = lp.shape[0]
+        pp0 = jnp.full((t3, 3), NEG_INF, dtype=jnp.float32)
+        tt0 = jnp.zeros((t3, 3), dtype=jnp.int32)
+        ks = jnp.arange(T, dtype=jnp.int32)
+        _, (packed, end_scores) = jax.lax.scan(
+            frame_step, (self._p0, pp0, tt0), (lp, ks))
+        return packed, end_scores
 
     # ------------------------------------------------------------------
-    def _backtrace(self, best_i: np.ndarray, best_t: np.ndarray,
-                   end_scores: np.ndarray, num_frames: int) -> DecodeResult:
-        img = self.image
-        # final argmax over phones' end biphones, first max wins (C++ :226-232)
-        last = end_scores[num_frames - 1]                  # (P,)
-        mxi = int(img.end_idxs[int(np.argmax(last))])
-        segments: List[Tuple[int, int, str]] = []
-        t = num_frames - 1
-        while t >= 0:
-            tri = int(best_i[t, mxi])
-            end = t + 1
-            t_prev = t
-            t = int(best_t[t, mxi])
-            begin = t + 1
-            segments.append((begin, end, img.phone_names[tri]))
-            mxi = int(img.biphone_in[tri])
-            if t >= t_prev:
-                # no complete path exists (utterance shorter than the
-                # 3-state HMM): the native decoder's backtrace loops
-                # forever here (phone_recog.cpp:236-244); we stop.
-                break
-        segments.reverse()
-        return DecodeResult(segments=segments)
+    def _device_backtrace(self, packed, end_scores, length):
+        """On-device backtrace (C++ :224-244 as a lax.while_loop).
+
+        Returns segs (T, 3) int32 [begin, end, triphone] filled from
+        index 0 = LAST segment, and the segment count.
+        """
+        T = packed.shape[0]
+        biphone_in = self._biphone_in
+        end_idxs = self._end_idxs
+
+        last = end_scores[length - 1]                    # (P,)
+        mxi0 = end_idxs[jnp.argmax(last)]                # first max wins
+
+        segs0 = jnp.zeros((T, 3), dtype=jnp.int32)
+
+        def cond(c):
+            t, mxi, k, segs = c
+            return t >= 0
+
+        def body(c):
+            t, mxi, k, segs = c
+            entry = packed[t, mxi]
+            tri = entry // TIME_PACK
+            t_new = entry % TIME_PACK - 1
+            segs = segs.at[k].set(
+                jnp.stack([t_new + 1, t + 1, tri]))
+            mxi_new = biphone_in[tri]
+            # degenerate guard: native decoder loops forever when no
+            # complete path exists (< 3 frames); we stop instead
+            t_next = jnp.where(t_new >= t, -1, t_new)
+            return (t_next, mxi_new, k + 1, segs)
+
+        t0 = length - 1
+        _, _, count, segs = jax.lax.while_loop(
+            cond, body, (t0, mxi0, jnp.int32(0), segs0))
+        return segs, count
+
+    def _decode_device(self, lp, length):
+        packed, end_scores = self._forward_scan(lp)
+        return self._device_backtrace(packed, end_scores, length)
 
     # ------------------------------------------------------------------
-    def decode_one(self, log_probs: np.ndarray) -> DecodeResult:
+    def _to_results(self, segs: np.ndarray, counts: np.ndarray
+                    ) -> List[DecodeResult]:
+        names = self.image.phone_names
+        out = []
+        for u in range(segs.shape[0]):
+            k = int(counts[u])
+            rows = segs[u, :k][::-1]                      # stored last-first
+            out.append(DecodeResult(segments=[
+                (int(b), int(e), names[int(tri)]) for b, e, tri in rows]))
+        return out
+
+    def decode_one(self, log_probs) -> DecodeResult:
         """Decode one utterance's (T, S) log-posterior matrix."""
         if log_probs.shape[1] != self.image.num_states:
             raise ValueError(
                 f"posterior columns {log_probs.shape[1]} != image states "
                 f"{self.image.num_states}")
-        best_i, best_t, end_scores = self._scan_fn(jnp.asarray(log_probs))
-        return self._backtrace(np.asarray(best_i), np.asarray(best_t),
-                               np.asarray(end_scores), log_probs.shape[0])
+        segs, count = self._decode_jit(
+            jnp.asarray(log_probs)[None],
+            jnp.asarray([log_probs.shape[0]], dtype=jnp.int32))
+        return self._to_results(np.asarray(segs), np.asarray(count))[0]
 
-    def decode_batch(
-        self,
-        log_probs: np.ndarray,
-        lengths: Sequence[int],
-    ) -> List[DecodeResult]:
+    def decode_batch(self, log_probs, lengths: Sequence[int]
+                     ) -> List[DecodeResult]:
         """Decode a padded batch (U, T_max, S) with per-utterance lengths.
 
-        Frames past each utterance's length are computed but ignored:
-        backpointers at t < len are unaffected by later frames, and the
-        backtrace starts from each utterance's own last frame.
+        Accepts numpy or device arrays; frames past each utterance's
+        length are computed but ignored (backpointers at t < len are
+        unaffected by later frames and each backtrace starts at its own
+        last frame).
         """
         if log_probs.shape[2] != self.image.num_states:
             raise ValueError("posterior/state mismatch")
-        best_i, best_t, end_scores = self._scan_fn_batched(jnp.asarray(log_probs))
-        best_i = np.asarray(best_i)
-        best_t = np.asarray(best_t)
-        end_scores = np.asarray(end_scores)
-        return [
-            self._backtrace(best_i[u], best_t[u], end_scores[u], int(lengths[u]))
-            for u in range(log_probs.shape[0])
-        ]
+        segs, counts = self._decode_jit(
+            jnp.asarray(log_probs),
+            jnp.asarray(lengths, dtype=jnp.int32))
+        return self._to_results(np.asarray(segs), np.asarray(counts))
+
+    def decode_fn(self):
+        """Jit-composable (lp (U,T,S), lengths (U,)) -> (segs, counts)
+        for fusing forward + decode into one compiled program."""
+        return jax.vmap(self._decode_device)
