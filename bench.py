@@ -107,15 +107,14 @@ def main():
     log("params init")
 
     dec = ViterbiDecoder(img, pip=20.0, lmw=1.0)
-    decode = dec.decode_fn()
 
-    # forward + log-softmax + Viterbi + backtrace fused in ONE compiled
-    # program: nothing but (segments, counts) leaves the device
+    # forward and decode as two cached jitted programs (one fused
+    # program compiles pathologically slowly on the remote-compile
+    # tunnel); posteriors stay on device between the two.
     @jax.jit
-    def pipeline(p, xs, lens):
+    def forward(p, xs):
         logits, _ = net.apply_sequence(p, xs)
-        lp = log_softmax(logits, axis=-1)
-        return decode(lp, lens)
+        return log_softmax(logits, axis=-1)
 
     # pack utterances into fixed (BATCH, BUCKET, DIM) buckets
     batches = []
@@ -131,9 +130,8 @@ def main():
     def run_ours():
         results = []
         for xb, lens in batches:
-            segs, counts = pipeline(params, xb, lens)
-            results.extend(dec._to_results(np.asarray(segs),
-                                           np.asarray(counts)))
+            lp = forward(params, xb)
+            results.extend(dec.decode_batch(lp, lens))
         return results
 
     # warmup (compile both stages)

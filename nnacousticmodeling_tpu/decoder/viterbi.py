@@ -86,12 +86,107 @@ class ViterbiDecoder:
                 np.float32(img.num_phones))
         self._p0 = jnp.asarray(p0)
 
+        self._cube_order = self._detect_cube_order()
         self._decode_jit = jax.jit(jax.vmap(self._decode_device),
                                    static_argnums=())
 
     # ------------------------------------------------------------------
+    def _detect_cube_order(self) -> Optional[str]:
+        """Detect a dense full-context triphone cube and its index
+        order: 'bac' (graph builder: idx = b*P^2 + a*P + c) or 'abc'
+        (synthetic builder: idx = a*P^2 + b*P + c), with biphone
+        (x, y) = x*P + y. For cube images both Viterbi gathers reduce to
+        reshapes/transposes and axis reductions — the TPU fast path.
+        """
+        img = self.image
+        P = img.num_phones
+        if img.num_triphones != P ** 3 or img.num_biphones != P * P:
+            return None
+        a, b, c = np.meshgrid(np.arange(P), np.arange(P), np.arange(P),
+                              indexing="ij")
+        for order, (left, center, right) in (("abc", (a, b, c)),
+                                             ("bac", (b, a, c))):
+            bi_in = (left * P + center).reshape(-1)
+            bi_out = (center * P + right).reshape(-1)
+            if (np.array_equal(img.biphone_in, bi_in)
+                    and np.array_equal(img.biphone_out, bi_out)):
+                return order
+        return None
+
+    def _forward_scan_cube(self, lp, order: str):
+        """Cube fast path: no gathers except the pdf observation lookup.
+
+        Cube axes are [i0, i1, i2] where (left, center) come from the
+        order: 'abc' -> (i0, i1), a-axis = 0; 'bac' -> (i1, i0),
+        a-axis = 1. Export biphone is always (center, right); the
+        first-max tie-break over the left-context axis equals the CSR
+        order because triphone ids ascend with the left context within
+        each (center, right) pair.
+        """
+        P = self.image.num_phones
+        a_axis = 0 if order == "abc" else 1
+        state_idxs = self._state_idxs.reshape(P, P, P, 3)
+        tp_self = self._tp_self.reshape(P, P, P, 3)
+        tp_trans = self._tp_trans.reshape(P, P, P, 3)
+        lm = self._lm.reshape(P, P)          # [center, right]
+        pip = jnp.float32(self.pip)
+        # sil is phone id 1 -> name index 0: end biphone (p, sil) is
+        # column 0 of the (center, right) matrix; general end_idxs kept
+        # for images with non-contiguous conventions
+        end_idxs = self._end_idxs
+
+        def p_in_from(p_mat):
+            # p_mat is [first, second] = (left, center); broadcast over
+            # the right-context axis
+            if order == "abc":
+                return p_mat[:, :, None]          # [a, b, c]
+            return p_mat.T[:, :, None]            # [b, a, c]
+
+        def frame_step(carry, inp):
+            p_mat, pp, tt = carry      # p (P,P), pp (P,P,P,3), tt int32
+            lp_t, k = inp
+            p_in = jnp.broadcast_to(p_in_from(p_mat) + pip, (P, P, P))
+            obs = lp_t[state_idxs]                          # (P,P,P,3)
+            go = jnp.stack([p_in, pp[..., 0] + tp_trans[..., 0],
+                            pp[..., 1] + tp_trans[..., 1]], axis=-1)
+            stay = pp + tp_self
+            t_in = jnp.full((P, P, P), k - 1, dtype=jnp.int32)
+            t_go = jnp.stack([t_in, tt[..., 0], tt[..., 1]], axis=-1)
+            take_go = go > stay
+            pp_new = jnp.where(take_go, go, stay) + obs
+            tt_new = jnp.where(take_go, t_go, tt)
+
+            out_score = pp_new[..., 2] + tp_trans[..., 2]   # (P,P,P)
+            arg_a = jnp.argmax(out_score, axis=a_axis)      # (P,P) first max
+            mx = jnp.max(out_score, axis=a_axis)
+            best_t = jnp.take_along_axis(
+                tt_new[..., 2], jnp.expand_dims(arg_a, a_axis),
+                axis=a_axis).squeeze(a_axis)
+            if order == "abc":
+                tri = arg_a * (P * P) + (
+                    jax.lax.broadcasted_iota(jnp.int32, (P, P), 0) * P
+                    + jax.lax.broadcasted_iota(jnp.int32, (P, P), 1))
+            else:
+                tri = (jax.lax.broadcasted_iota(jnp.int32, (P, P), 0) * (P * P)
+                       + arg_a * P
+                       + jax.lax.broadcasted_iota(jnp.int32, (P, P), 1))
+            p_new = mx + lm                                  # (P,P) [b, c]
+            packed = (tri * TIME_PACK + (best_t + 1)).reshape(-1)
+            end_scores = p_new.reshape(-1)[end_idxs]
+            return (p_new, pp_new, tt_new), (packed, end_scores)
+
+        T = lp.shape[0]
+        pp0 = jnp.full((P, P, P, 3), NEG_INF, dtype=jnp.float32)
+        tt0 = jnp.zeros((P, P, P, 3), dtype=jnp.int32)
+        ks = jnp.arange(T, dtype=jnp.int32)
+        _, (packed, end_scores) = jax.lax.scan(
+            frame_step, (self._p0.reshape(P, P), pp0, tt0), (lp, ks))
+        return packed, end_scores
+
     def _forward_scan(self, lp):
         """lp (T, S) -> packed backpointers (T, B) int32 + end scores."""
+        if self._cube_order is not None:
+            return self._forward_scan_cube(lp, self._cube_order)
         biphone_in = self._biphone_in
         state_idxs = self._state_idxs
         tp_self = self._tp_self

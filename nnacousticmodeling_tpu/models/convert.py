@@ -1,0 +1,174 @@
+"""Chainer checkpoint conversion.
+
+Maps the reference's Chainer ``.npz`` model files (saved via
+``chainer.serializers.save_npz(L.Classifier(model))`` — train.py:393)
+onto this framework's parameter pytrees, so framewise posterior
+parity can be checked against reference-trained models.
+
+Layout facts encoded here:
+
+* Chainer ``L.Linear`` stores W as (out, in) — transposed vs ours.
+* ``L.LSTM``: ``upward`` (W x + b) and ``lateral`` (U h, no bias) of
+  width 4H with INTERLEAVED gates — unit h's gate g lives at row
+  ``h*4 + g`` with gate order (a, i, f, o). Ours packs gates in blocks
+  [a | i | f | o] of width H each.
+* ``L.GRU`` / MGRU: six separate Linear links (W_r, U_r, W_z, U_z, W,
+  U), every one with its own bias; our cells keep a single input-side
+  bias, so the U biases fold into it (mathematically identical since
+  both are added once per step).
+* ``L.StatefulPeepholeLSTM``: upward/lateral like LSTM plus full-matrix
+  ``peep_i/f/o`` links (no bias).
+* RPL4: parameters W, b, lb of shape (1, C) — identical layout.
+
+Keys look like ``predictor/layer_0/upward/W``; the ``predictor/``
+prefix comes from the Classifier wrapper.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Mapping
+
+import numpy as np
+
+import jax.numpy as jnp
+
+
+def _deinterleave_gates(w_4h: np.ndarray) -> np.ndarray:
+    """Chainer (4H, X) interleaved rows (h*4+g, gate order a,i,f,o) ->
+    our (X, 4H) block columns [a|i|f|o]."""
+    h4, x = w_4h.shape
+    h = h4 // 4
+    blocks = [w_4h[g::4, :] for g in range(4)]     # each (H, X), order a,i,f,o
+    return np.concatenate(blocks, axis=0).T.astype(np.float32)  # (X, 4H)
+
+
+def _deinterleave_bias(b_4h: np.ndarray) -> np.ndarray:
+    h = b_4h.shape[0] // 4
+    return np.concatenate([b_4h[g::4] for g in range(4)]).astype(np.float32)
+
+
+def _lin(w):  # chainer (out, in) -> ours (in, out)
+    return np.asarray(w, dtype=np.float32).T
+
+
+def convert_dense(src: Mapping[str, np.ndarray], prefix: str) -> Dict:
+    return {"w": jnp.asarray(_lin(src[f"{prefix}/W"])),
+            "b": jnp.asarray(np.asarray(src[f"{prefix}/b"], np.float32))}
+
+
+def convert_mlp(src: Mapping[str, np.ndarray], layers: int,
+                prefix: str = "predictor") -> Dict:
+    return {
+        "hidden": [convert_dense(src, f"{prefix}/layer_{l}")
+                   for l in range(layers)],
+        "out": convert_dense(src, f"{prefix}/out"),
+    }
+
+
+def convert_lstm(src: Mapping[str, np.ndarray], layers: int,
+                 prefix: str = "predictor") -> Dict:
+    cells = []
+    for l in range(layers):
+        p = f"{prefix}/layer_{l}"
+        cells.append({
+            "wx": jnp.asarray(_deinterleave_gates(np.asarray(src[f"{p}/upward/W"]))),
+            "wh": jnp.asarray(_deinterleave_gates(np.asarray(src[f"{p}/lateral/W"]))),
+            "b": jnp.asarray(_deinterleave_bias(np.asarray(src[f"{p}/upward/b"]))),
+        })
+    return {"cells": cells, "out": convert_dense(src, f"{prefix}/out")}
+
+
+# ZoneoutLSTM uses the same upward/lateral layout as LSTM
+convert_zoneout_lstm = convert_lstm
+
+
+def convert_peephole_lstm(src: Mapping[str, np.ndarray], layers: int,
+                          prefix: str = "predictor") -> Dict:
+    cells = []
+    for l in range(layers):
+        p = f"{prefix}/layer_{l}"
+        cells.append({
+            "wx": jnp.asarray(_deinterleave_gates(np.asarray(src[f"{p}/upward/W"]))),
+            "wh": jnp.asarray(_deinterleave_gates(np.asarray(src[f"{p}/lateral/W"]))),
+            "b": jnp.asarray(_deinterleave_bias(np.asarray(src[f"{p}/upward/b"]))),
+            "peep_i": jnp.asarray(_lin(src[f"{p}/peep_i/W"])),
+            "peep_f": jnp.asarray(_lin(src[f"{p}/peep_f/W"])),
+            "peep_o": jnp.asarray(_lin(src[f"{p}/peep_o/W"])),
+        })
+    return {"cells": cells, "out": convert_dense(src, f"{prefix}/out")}
+
+
+def convert_gru(src: Mapping[str, np.ndarray], layers: int,
+                prefix: str = "predictor") -> Dict:
+    cells = []
+    for l in range(layers):
+        p = f"{prefix}/layer_{l}"
+        w_r, b_wr = _lin(src[f"{p}/W_r/W"]), np.asarray(src[f"{p}/W_r/b"])
+        u_r, b_ur = _lin(src[f"{p}/U_r/W"]), np.asarray(src[f"{p}/U_r/b"])
+        w_z, b_wz = _lin(src[f"{p}/W_z/W"]), np.asarray(src[f"{p}/W_z/b"])
+        u_z, b_uz = _lin(src[f"{p}/U_z/W"]), np.asarray(src[f"{p}/U_z/b"])
+        w, b_w = _lin(src[f"{p}/W/W"]), np.asarray(src[f"{p}/W/b"])
+        u, b_u = _lin(src[f"{p}/U/W"]), np.asarray(src[f"{p}/U/b"])
+        cells.append({
+            "wx": jnp.asarray(np.concatenate([w_r, w_z, w], axis=1)),
+            "bx": jnp.asarray(np.concatenate(
+                [b_wr + b_ur, b_wz + b_uz, b_w + b_u]).astype(np.float32)),
+            "wh_rz": jnp.asarray(np.concatenate([u_r, u_z], axis=1)),
+            "wh_c": jnp.asarray(u),
+        })
+    return {"cells": cells, "out": convert_dense(src, f"{prefix}/out")}
+
+
+def convert_mgru(src: Mapping[str, np.ndarray], layers: int,
+                 use_reset_gate: bool, prefix: str = "predictor") -> Dict:
+    cells = []
+    for l in range(layers):
+        p = f"{prefix}/layer_{l}"
+        cell = {
+            "w_z": jnp.asarray(_lin(src[f"{p}/W_z/W"])),
+            "u_z": jnp.asarray(_lin(src[f"{p}/U_z/W"])),
+            "w": jnp.asarray(_lin(src[f"{p}/W/W"])),
+            "u": jnp.asarray(_lin(src[f"{p}/U/W"])),
+            "b_z": jnp.asarray((np.asarray(src[f"{p}/W_z/b"])
+                                + np.asarray(src[f"{p}/U_z/b"])
+                                ).astype(np.float32)),
+            "b": jnp.asarray((np.asarray(src[f"{p}/W/b"])
+                              + np.asarray(src[f"{p}/U/b"])
+                              ).astype(np.float32)),
+        }
+        if use_reset_gate:
+            cell["w_r"] = jnp.asarray(_lin(src[f"{p}/W_r/W"]))
+            cell["u_r"] = jnp.asarray(_lin(src[f"{p}/U_r/W"]))
+            cell["b_r"] = jnp.asarray((np.asarray(src[f"{p}/W_r/b"])
+                                       + np.asarray(src[f"{p}/U_r/b"])
+                                       ).astype(np.float32))
+        cells.append(cell)
+    return {"cells": cells, "out": convert_dense(src, f"{prefix}/out")}
+
+
+def convert_rpl4(src: Mapping[str, np.ndarray],
+                 prefix: str = "predictor") -> Dict:
+    return {
+        "w": jnp.asarray(np.asarray(src[f"{prefix}/W"], np.float32)),
+        "b": jnp.asarray(np.asarray(src[f"{prefix}/b"], np.float32)),
+        "lb": jnp.asarray(np.asarray(src[f"{prefix}/lb"], np.float32)),
+    }
+
+
+def convert_checkpoint(npz_path: str, network: str, layers: int,
+                       prefix: str = "predictor") -> Dict:
+    """Load + convert a reference .npz by network type name."""
+    src = dict(np.load(npz_path))
+    if network == "ff":
+        return convert_mlp(src, layers, prefix)
+    if network in ("lstm", "zoneoutlstm", "zoneoutdropoutlstm"):
+        return convert_lstm(src, layers, prefix)
+    if network == "peepholelstm":
+        return convert_peephole_lstm(src, layers, prefix)
+    if network == "gru":
+        return convert_gru(src, layers, prefix)
+    if network == "mgrurelu":
+        return convert_mgru(src, layers, False, prefix)
+    if network == "mgrurelur":
+        return convert_mgru(src, layers, True, prefix)
+    raise ValueError(f"no converter for network {network!r}")

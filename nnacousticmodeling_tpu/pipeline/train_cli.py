@@ -41,7 +41,8 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--noplot", action="store_true",
                         help="accepted for reference-CLI compatibility")
     parser.add_argument("--resume", "-r", default="",
-                        help="resume from a saved model checkpoint")
+                        help="resume from a training snapshot "
+                             "(<out>/snapshot.npz written every epoch)")
     # fold / RPL training modes (train.py:59-70)
     parser.add_argument("--train-fold", type=int)
     parser.add_argument("--train-rpl", action="store_true")
@@ -175,7 +176,9 @@ def main(arg_list=None):
     config = TrainConfig(stages=stages, bprop_len=args.bproplen,
                          seed=args.seed,
                          use_validation=args.use_validation and x_dev is not None,
-                         log=print)
+                         log=print,
+                         snapshot_path=str(Path(args.out) / "snapshot.npz"),
+                         resume_snapshot=bool(args.resume))
 
     if args.train_rpl:
         rpl = RPL4(num_classes)
@@ -195,16 +198,11 @@ def main(arg_list=None):
     else:
         net = build_network(args, num_classes)
 
-    init_params = None
-    if args.resume:
-        from ..train import load_pytree
-        import jax
-        template = net.init(jax.random.PRNGKey(args.seed), x.shape[1])
-        init_params = load_pytree(args.resume, template)
-        print(f"Resumed model from {args.resume}")
+    if args.resume and args.resume != "auto":
+        config.snapshot_path = args.resume
 
     result = train_network(net, x, y, config, offsets=offsets,
-                           x_dev=x_dev, y_dev=y_dev, init_params=init_params)
+                           x_dev=x_dev, y_dev=y_dev)
 
     # ---- save (train.py:393-395) --------------------------------------
     Path(args.out).mkdir(exist_ok=True, parents=True)

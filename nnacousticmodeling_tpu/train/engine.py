@@ -51,12 +51,49 @@ class TrainConfig:
     use_validation: bool = True
     log: Optional[Callable[[str], None]] = print
     eval_chunk: int = 8192
+    # per-epoch full-state snapshots for crash recovery (the reference's
+    # extensions.snapshot + --resume, train.py:340-342,371-373)
+    snapshot_path: Optional[str] = None
+    resume_snapshot: bool = False
 
 
 @dataclass
 class TrainResult:
     params: Any
     history: List[dict] = field(default_factory=list)
+
+
+def _snapshot_file(path):
+    return path if path.endswith(".npz") else path + ".npz"
+
+
+def _save_snapshot(path, params, opt_state, stage, epoch, best_val):
+    """Full training state: params (by path keys), optimizer leaves (by
+    index), and scalar progress markers. On resume, the best-model
+    tracking of the interrupted stage restarts from the snapshot epoch
+    (only best_val is carried, not the best params)."""
+    path = _snapshot_file(path)
+    from .checkpoint import _path_str
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    blob = {_path_str(pth): np.asarray(leaf) for pth, leaf in flat}
+    for i, leaf in enumerate(jax.tree_util.tree_leaves(opt_state)):
+        blob[f"__opt_{i}__"] = np.asarray(leaf)
+    blob["__stage__"] = np.asarray(stage)
+    blob["__epoch__"] = np.asarray(epoch)
+    blob["__best_val__"] = np.asarray(
+        best_val if best_val is not None else np.nan)
+    np.savez(path, **blob)
+
+
+def _restore_opt_state(blob, template_opt_state):
+    leaves, treedef = jax.tree_util.tree_flatten(template_opt_state)
+    restored = []
+    for i, leaf in enumerate(leaves):
+        arr = blob[f"__opt_{i}__"]
+        if arr.shape != tuple(np.shape(leaf)):
+            raise ValueError(f"snapshot opt leaf {i} shape mismatch")
+        restored.append(arr.astype(np.asarray(leaf).dtype))
+    return jax.tree_util.tree_unflatten(treedef, restored)
 
 
 def _loss_acc(logits, targets):
@@ -101,6 +138,19 @@ def train_network(
     recurrent = getattr(net, "is_recurrent", False) and apply_fn is None
     history: List[dict] = []
 
+    # resume bookkeeping: skip (stage, epoch) pairs already completed
+    resume_stage = resume_epoch = -1
+    resume_blob = None
+    if config.snapshot_path and config.resume_snapshot:
+        import os
+        snap = _snapshot_file(config.snapshot_path)
+        if os.path.exists(snap):
+            resume_blob = dict(np.load(snap, allow_pickle=False))
+            resume_stage = int(resume_blob["__stage__"])
+            resume_epoch = int(resume_blob["__epoch__"])
+            log(f"Resuming from snapshot: stage {resume_stage}, "
+                f"epoch {resume_epoch}")
+
     for si, stage in enumerate(config.stages):
         if stage.optimizer == "adam":
             log(f"=== Training stage {si}: epoch = {stage.epoch}, batch size = "
@@ -127,7 +177,23 @@ def train_network(
         best_val = None
         best_params = None
         stopped_early = False
+        if resume_blob is not None and si < resume_stage:
+            continue  # whole stage already done; params come from snapshot
         for epoch in range(stage.epoch):
+            if resume_blob is not None and (
+                    si < resume_stage
+                    or (si == resume_stage and epoch < resume_epoch)):
+                continue
+            if resume_blob is not None and si == resume_stage \
+                    and epoch == resume_epoch:
+                # restore params/opt state at the resume point
+                from .checkpoint import load_pytree
+                params = load_pytree(_snapshot_file(config.snapshot_path),
+                                     params)
+                opt_state = _restore_opt_state(resume_blob, opt_state)
+                bv = float(resume_blob["__best_val__"])
+                best_val = bv if np.isfinite(bv) else None
+                resume_blob = None
             t0 = time.time()
             key, ek = jax.random.split(key)
             if recurrent:
@@ -146,6 +212,10 @@ def train_network(
             history.append(entry)
             log("  " + "  ".join(f"{k}={v:.4f}" if isinstance(v, float) else
                                  f"{k}={v}" for k, v in entry.items()))
+
+            if config.snapshot_path:
+                _save_snapshot(config.snapshot_path, params, opt_state,
+                               si, epoch + 1, best_val)
 
             if use_val:
                 val = entry["validation/main/loss"]

@@ -1,0 +1,209 @@
+"""Chainer-checkpoint converter tests.
+
+Chainer itself is not installed, so the oracle is a direct numpy
+transcription of Chainer's layer semantics (interleaved LSTM gates,
+six-Linear GRU/MGRU with double biases) run on random chainer-layout
+weights; the converted params through our cells must match framewise.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from nnacousticmodeling_tpu.models import LSTM, GRU, MGRUNet, PeepholeLSTM
+from nnacousticmodeling_tpu.models.convert import (
+    convert_gru, convert_lstm, convert_mgru, convert_mlp,
+    convert_peephole_lstm, convert_rpl4,
+)
+from nnacousticmodeling_tpu.models import MLP, RPL4
+
+
+def _sigmoid(x):
+    return 1.0 / (1.0 + np.exp(-x))
+
+
+def _rand_linear(rng, out, inp, bias=True):
+    d = {"W": rng.standard_normal((out, inp)).astype(np.float32) * 0.3}
+    if bias:
+        d["b"] = rng.standard_normal(out).astype(np.float32) * 0.1
+    return d
+
+
+def test_mlp_conversion(rng):
+    layers, in_dim, units, classes = 2, 5, 7, 4
+    src = {}
+    dims = [in_dim, units, units]
+    for l in range(layers):
+        lin = _rand_linear(rng, units, dims[l])
+        src[f"predictor/layer_{l}/W"] = lin["W"]
+        src[f"predictor/layer_{l}/b"] = lin["b"]
+    out = _rand_linear(rng, classes, units)
+    src["predictor/out/W"] = out["W"]
+    src["predictor/out/b"] = out["b"]
+
+    params = convert_mlp(src, layers)
+    net = MLP(units=units, num_classes=classes, layers=layers)
+    x = rng.standard_normal((3, in_dim)).astype(np.float32)
+    got = np.asarray(net.apply(params, jnp.asarray(x)))
+
+    # numpy oracle of the chainer MLP (relu, no dropout at eval)
+    h = x
+    for l in range(layers):
+        h = np.maximum(h @ src[f"predictor/layer_{l}/W"].T
+                       + src[f"predictor/layer_{l}/b"], 0)
+    ref = h @ out["W"].T + out["b"]
+    np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+def _chainer_lstm_oracle(src, prefix, x_seq):
+    """Chainer L.LSTM semantics: interleaved gates a,i,f,o at rows
+    h*4+g; c,h start at zero."""
+    wu = src[f"{prefix}/upward/W"]
+    bu = src[f"{prefix}/upward/b"]
+    wl = src[f"{prefix}/lateral/W"]
+    hdim = wu.shape[0] // 4
+    c = np.zeros((x_seq.shape[0], hdim), np.float32)
+    h = np.zeros_like(c)
+    outs = []
+    for t in range(x_seq.shape[1]):
+        z = x_seq[:, t] @ wu.T + bu + h @ wl.T
+        zr = z.reshape(z.shape[0], hdim, 4)
+        a, i, f, o = np.tanh(zr[:, :, 0]), _sigmoid(zr[:, :, 1]), \
+            _sigmoid(zr[:, :, 2]), _sigmoid(zr[:, :, 3])
+        c = f * c + i * a
+        h = o * np.tanh(c)
+        outs.append(h)
+    return np.stack(outs, axis=1)
+
+
+def test_lstm_conversion(rng):
+    in_dim, units, B, T = 5, 6, 2, 7
+    src = {}
+    src["predictor/layer_0/upward/W"] = rng.standard_normal(
+        (4 * units, in_dim)).astype(np.float32) * 0.3
+    src["predictor/layer_0/upward/b"] = rng.standard_normal(
+        4 * units).astype(np.float32) * 0.1
+    src["predictor/layer_0/lateral/W"] = rng.standard_normal(
+        (4 * units, units)).astype(np.float32) * 0.3
+    out = _rand_linear(rng, 3, units)
+    src["predictor/out/W"] = out["W"]
+    src["predictor/out/b"] = out["b"]
+
+    params = convert_lstm(src, 1)
+    net = LSTM(units=units, num_classes=3, layers=1, dropout=0.0)
+    xs = rng.standard_normal((B, T, in_dim)).astype(np.float32)
+    got, _ = net.apply_sequence(params, jnp.asarray(xs))
+
+    h_ref = _chainer_lstm_oracle(src, "predictor/layer_0", xs)
+    ref = h_ref @ out["W"].T + out["b"]
+    np.testing.assert_allclose(np.asarray(got), ref, atol=1e-4)
+
+
+def test_gru_conversion(rng):
+    in_dim, units, B, T = 4, 5, 2, 6
+    src = {}
+    p = "predictor/layer_0"
+    for name, (o, i) in [("W_r", (units, in_dim)), ("U_r", (units, units)),
+                         ("W_z", (units, in_dim)), ("U_z", (units, units)),
+                         ("W", (units, in_dim)), ("U", (units, units))]:
+        lin = _rand_linear(rng, o, i)
+        src[f"{p}/{name}/W"] = lin["W"]
+        src[f"{p}/{name}/b"] = lin["b"]
+    out = _rand_linear(rng, 3, units)
+    src["predictor/out/W"] = out["W"]
+    src["predictor/out/b"] = out["b"]
+
+    params = convert_gru(src, 1)
+    net = GRU(units=units, num_classes=3, layers=1, dropout=0.0)
+    xs = rng.standard_normal((B, T, in_dim)).astype(np.float32)
+    got, _ = net.apply_sequence(params, jnp.asarray(xs))
+
+    # chainer StatefulGRU oracle: h' = z*h + (1-z)*h_bar,
+    # h_bar = tanh(W x + U (r*h)); every link has a bias
+    def L(n, v):
+        return v @ src[f"{p}/{n}/W"].T + src[f"{p}/{n}/b"]
+    h = np.zeros((B, units), np.float32)
+    outs = []
+    for t in range(T):
+        x = xs[:, t]
+        r = _sigmoid(L("W_r", x) + L("U_r", h))
+        z = _sigmoid(L("W_z", x) + L("U_z", h))
+        h_bar = np.tanh(L("W", x) + L("U", r * h))
+        h = z * h + (1 - z) * h_bar
+        outs.append(h)
+    ref = np.stack(outs, axis=1) @ out["W"].T + out["b"]
+    np.testing.assert_allclose(np.asarray(got), ref, atol=1e-4)
+
+
+@pytest.mark.parametrize("use_reset", [False, True])
+def test_mgru_conversion(rng, use_reset):
+    in_dim, units, B, T = 4, 5, 2, 6
+    src = {}
+    p = "predictor/layer_0"
+    names = [("W_z", (units, in_dim)), ("U_z", (units, units)),
+             ("W", (units, in_dim)), ("U", (units, units))]
+    if use_reset:
+        names += [("W_r", (units, in_dim)), ("U_r", (units, units))]
+    for name, (o, i) in names:
+        lin = _rand_linear(rng, o, i)
+        src[f"{p}/{name}/W"] = lin["W"]
+        src[f"{p}/{name}/b"] = lin["b"]
+    out = _rand_linear(rng, 3, units)
+    src["predictor/out/W"] = out["W"]
+    src["predictor/out/b"] = out["b"]
+
+    params = convert_mgru(src, 1, use_reset)
+    net = MGRUNet(units=units, num_classes=3, layers=1, dropout=0.0,
+                  use_reset_gate=use_reset)
+    xs = rng.standard_normal((B, T, in_dim)).astype(np.float32)
+    got, _ = net.apply_sequence(params, jnp.asarray(xs))
+
+    # MGRU.py:67-85 oracle: h' = z*h_bar + (1-z)*h, relu activation
+    def L(n, v):
+        return v @ src[f"{p}/{n}/W"].T + src[f"{p}/{n}/b"]
+    h = np.zeros((B, units), np.float32)
+    outs = []
+    for t in range(T):
+        x = xs[:, t]
+        z = _sigmoid(L("W_z", x) + L("U_z", h))
+        if use_reset:
+            r = _sigmoid(L("W_r", x) + L("U_r", h))
+            h_bar = np.maximum(L("W", x) + L("U", r * h), 0)
+        else:
+            h_bar = np.maximum(L("W", x) + L("U", h), 0)
+        h = z * h_bar + (1 - z) * h
+        outs.append(h)
+    ref = np.stack(outs, axis=1) @ out["W"].T + out["b"]
+    np.testing.assert_allclose(np.asarray(got), ref, atol=1e-4)
+
+
+def test_peephole_conversion_runs(rng):
+    in_dim, units = 4, 5
+    src = {}
+    p = "predictor/layer_0"
+    src[f"{p}/upward/W"] = rng.standard_normal((4 * units, in_dim)).astype(np.float32)
+    src[f"{p}/upward/b"] = rng.standard_normal(4 * units).astype(np.float32)
+    src[f"{p}/lateral/W"] = rng.standard_normal((4 * units, units)).astype(np.float32)
+    for n in ["peep_i", "peep_f", "peep_o"]:
+        src[f"{p}/{n}/W"] = rng.standard_normal((units, units)).astype(np.float32)
+    out = _rand_linear(rng, 3, units)
+    src["predictor/out/W"] = out["W"]
+    src["predictor/out/b"] = out["b"]
+    params = convert_peephole_lstm(src, 1)
+    net = PeepholeLSTM(units=units, num_classes=3, layers=1, dropout=0.0)
+    xs = rng.standard_normal((2, 5, in_dim)).astype(np.float32)
+    got, _ = net.apply_sequence(params, jnp.asarray(xs))
+    assert np.isfinite(np.asarray(got)).all()
+
+
+def test_rpl4_conversion(rng):
+    src = {"predictor/W": rng.standard_normal((1, 6)).astype(np.float32),
+           "predictor/b": rng.standard_normal((1, 6)).astype(np.float32),
+           "predictor/lb": np.full((1, 6), -20.0, np.float32)}
+    params = convert_rpl4(src)
+    rpl = RPL4(6)
+    x = jnp.asarray(rng.standard_normal((3, 6)).astype(np.float32))
+    got = rpl.apply(params, x)
+    assert np.isfinite(np.asarray(got)).all()

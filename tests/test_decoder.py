@@ -121,3 +121,28 @@ def test_viterbi_prefers_likely_path():
     res = dec.decode_one(lp)
     assert res.phones == ["p1", "p2"]
     assert res.segments[0][0] == 0 and res.segments[-1][1] == 20
+
+
+def test_viterbi_general_path_matches_native(tmp_path):
+    """Partial-context (non-cube) images exercise the gather-based
+    general path; parity vs the native binary still required."""
+    rng = np.random.default_rng(9)
+    img = make_synthetic_image(num_phones=4, num_states=30, seed=9,
+                               full_context=False)
+    assert img.num_triphones < 4 ** 3
+    posteriors = [np.log(rng.dirichlet(np.ones(30), size=t)).astype(np.float32)
+                  for t in [30, 12]]
+    native = _decode_with_native(tmp_path, img, posteriors, -10.0, 1.5)
+    dec = ViterbiDecoder(img, pip=10.0, lmw=1.5)
+    assert dec._cube_order is None
+    for i, lp in enumerate(posteriors):
+        ours = dec.decode_one(lp)
+        assert ours.phones == native[f"utt{i:03d}"].words
+
+
+def test_cube_order_detection():
+    img = make_synthetic_image(num_phones=3, seed=0)
+    assert ViterbiDecoder(img)._cube_order == "abc"
+    from nnacousticmodeling_tpu.decoder.graph import build_timit_image
+    timit = build_timit_image()
+    assert ViterbiDecoder(timit)._cube_order == "bac"

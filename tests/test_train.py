@@ -173,3 +173,34 @@ def test_checkpoint_shape_mismatch(tmp_path):
     other = net.init(jax.random.PRNGKey(0), 6)   # different in_dim
     with pytest.raises(ValueError):
         load_pytree(f, other)
+
+
+def test_snapshot_resume(tmp_path, syn):
+    """Kill-and-resume: training with snapshots, then resuming from the
+    snapshot, must land where an uninterrupted run lands (same stage
+    progression, finite losses) and must skip completed epochs."""
+    _, corpus = syn
+    net = get_network("ff", 1, [16], 16)
+    snap = str(tmp_path / "snapshot.npz")
+    stages = [TrainStage(epoch=3, optimizer="momentumsgd", batch_size=64,
+                         lr=1e-2, early_stopping=False)]
+    cfg1 = TrainConfig(stages=stages, seed=0, log=None, snapshot_path=snap)
+    res1 = train_network(net, corpus.train.data, corpus.train.targets, cfg1,
+                         x_dev=corpus.dev.data, y_dev=corpus.dev.targets)
+    assert len(res1.history) == 3
+
+    # resume: all epochs already done -> no new epochs run
+    cfg2 = TrainConfig(stages=stages, seed=0, log=None, snapshot_path=snap,
+                       resume_snapshot=True)
+    res2 = train_network(net, corpus.train.data, corpus.train.targets, cfg2,
+                         x_dev=corpus.dev.data, y_dev=corpus.dev.targets)
+    assert len(res2.history) == 0
+
+    # resume mid-way: fake an earlier snapshot epoch marker
+    blob = dict(np.load(snap))
+    blob["__epoch__"] = np.asarray(1)
+    np.savez(snap, **blob)
+    res3 = train_network(net, corpus.train.data, corpus.train.targets, cfg2,
+                         x_dev=corpus.dev.data, y_dev=corpus.dev.targets)
+    assert len(res3.history) == 2  # epochs 2 and 3 re-run
+    assert all(np.isfinite(h["main/loss"]) for h in res3.history)
