@@ -1,0 +1,194 @@
+"""Fold-parallel training: all K fold networks train simultaneously.
+
+The reference trains its k-fold ensemble sequentially (one
+``train.main`` call per fold — master_script.py:134-170). Here the K
+networks train as ONE vmapped computation over a leading ``fold`` axis:
+
+* the corpus stays shared in HBM once; each fold's training set (all
+  utterances NOT in its fold, in fold-concatenation order, mirroring
+  train.py:162-206) is just an index universe into it;
+* every update gathers a (K, B, L) index block, runs K forwards/
+  backwards as one batched program, and applies K optimizer updates —
+  on a device mesh the fold axis shards so folds really train on
+  different chips;
+* per-fold early stopping masks updates of stopped folds (their
+  params freeze) until all folds finish.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from .engine import TrainConfig
+from .optimizers import make_optimizer
+from .streams import sentence_shuffle_indices, stream_batch_indices
+
+
+def fold_index_universe(offsets: np.ndarray, utt_folds: np.ndarray,
+                        fold: int):
+    """Frame indices + local offsets of fold ``fold``'s training set
+    (= utterances of all OTHER folds, grouped by fold id ascending)."""
+    utts = [u for k in range(int(utt_folds.max()) + 1) if k != fold
+            for u in np.nonzero(utt_folds == k)[0]]
+    frames = []
+    local_offsets = [0]
+    for u in utts:
+        frames.append(np.arange(offsets[u], offsets[u + 1]))
+        local_offsets.append(local_offsets[-1] + offsets[u + 1] - offsets[u])
+    return np.concatenate(frames), np.asarray(local_offsets, dtype=np.int64)
+
+
+def train_folds_parallel(
+    net,
+    x: np.ndarray,
+    y: np.ndarray,
+    offsets: Optional[np.ndarray],
+    utt_folds: np.ndarray,
+    num_folds: int,
+    config: TrainConfig,
+    x_dev: Optional[np.ndarray] = None,
+    y_dev: Optional[np.ndarray] = None,
+) -> List[Any]:
+    """Returns the list of K trained fold params."""
+    log = config.log or (lambda s: None)
+    recurrent = getattr(net, "is_recurrent", False)
+    rng_np = np.random.default_rng(config.seed)
+    key = jax.random.PRNGKey(config.seed)
+
+    if offsets is None:
+        offsets = np.array([0, x.shape[0]], dtype=np.int64)
+    universes = [fold_index_universe(offsets, utt_folds, k)
+                 for k in range(num_folds)]
+
+    keys = jax.random.split(key, num_folds + 1)
+    key = keys[0]
+    params = jax.tree_util.tree_map(
+        lambda *leaves: jnp.stack(leaves),
+        *[net.init(keys[k + 1], x.shape[1]) for k in range(num_folds)])
+
+    xd = jnp.asarray(x)
+    yd = jnp.asarray(y)
+    use_val = config.use_validation and x_dev is not None
+    if use_val:
+        xvd = jnp.asarray(x_dev)
+        yvd = jnp.asarray(y_dev)
+
+    L = config.bprop_len if recurrent else 1
+
+    for si, stage in enumerate(config.stages):
+        log(f"=== Fold-parallel stage {si}: {num_folds} folds, "
+            f"epoch = {stage.epoch}, bs = {stage.batch_size}, "
+            f"opt = {stage.optimizer}")
+        opt = make_optimizer(stage.optimizer, stage.lr)
+        opt_state = jax.vmap(opt.init)(params)
+        bs = stage.batch_size
+
+        if recurrent:
+            @jax.jit
+            def update(params, opt_state, state, idx, active, rng):
+                def one(p, o, st, ix, act, rk):
+                    xb = jnp.take(xd, ix.reshape(-1), axis=0).reshape(bs, L, -1)
+                    yb = jnp.take(yd, ix.reshape(-1), axis=0).reshape(bs, L)
+
+                    def loss_fn(pp):
+                        logits, new_st = net.apply_sequence(
+                            pp, xb, st, rng=rk, train=True)
+                        return optax.softmax_cross_entropy_with_integer_labels(
+                            logits, yb).mean(axis=0).sum(), new_st
+
+                    (loss, new_st), grads = jax.value_and_grad(
+                        loss_fn, has_aux=True)(p)
+                    upd, o2 = opt.update(grads, o, p)
+                    upd = jax.tree_util.tree_map(lambda u: u * act, upd)
+                    return (optax.apply_updates(p, upd), o2, new_st,
+                            loss / L)
+                return jax.vmap(one)(params, opt_state, state, idx,
+                                     active, rng)
+            state = jax.tree_util.tree_map(
+                lambda a: jnp.stack([a] * num_folds),
+                net.init_state(bs))
+        else:
+            @jax.jit
+            def update(params, opt_state, idx, active, rng):
+                def one(p, o, ix, act, rk):
+                    xb = jnp.take(xd, ix, axis=0)
+                    yb = jnp.take(yd, ix, axis=0)
+
+                    def loss_fn(pp):
+                        logits = net.apply(pp, xb, rng=rk, train=True)
+                        return optax.softmax_cross_entropy_with_integer_labels(
+                            logits, yb).mean()
+
+                    loss, grads = jax.value_and_grad(loss_fn)(p)
+                    upd, o2 = opt.update(grads, o, p)
+                    upd = jax.tree_util.tree_map(lambda u: u * act, upd)
+                    return optax.apply_updates(p, upd), o2, loss
+                return jax.vmap(one)(params, opt_state, idx, active, rng)
+            state = None
+
+        if use_val:
+            @jax.jit
+            def evaluate(params):
+                def one(p):
+                    logits = net.apply(p, xvd) if not recurrent else \
+                        net.apply_sequence(p, xvd[None])[0][0]
+                    return optax.softmax_cross_entropy_with_integer_labels(
+                        logits, yvd).mean()
+                return jax.vmap(one)(params)
+
+        n_steps = min(len(u[0]) for u in universes) // (bs * L)
+        n_steps = max(n_steps, 1)
+        active = np.ones(num_folds, dtype=bool)
+        best_vals = [None] * num_folds
+
+        for epoch in range(stage.epoch):
+            t0 = time.time()
+            shuffled = [sentence_shuffle_indices(u[1], len(u[0]), rng_np)
+                        for u in universes]
+            losses = []
+            for s in range(n_steps):
+                idx = np.stack([
+                    u[0][stream_batch_indices(sh, bs, s * L, L)]
+                    for u, sh in zip(universes, shuffled)])
+                if not recurrent:
+                    idx = idx.reshape(num_folds, bs * L)[:, :bs]
+                key, uk = jax.random.split(key)
+                rks = jax.random.split(uk, num_folds)
+                act = jnp.asarray(active, jnp.float32)
+                if recurrent:
+                    params, opt_state, state, loss = update(
+                        params, opt_state, state, jnp.asarray(idx), act, rks)
+                else:
+                    params, opt_state, loss = update(
+                        params, opt_state, jnp.asarray(idx), act, rks)
+                losses.append(np.asarray(loss))
+            mean_loss = np.stack(losses).mean(axis=0)
+            msg = (f"  stage={si} epoch={epoch + 1} "
+                   f"loss={np.array2string(mean_loss, precision=3)} "
+                   f"({time.time() - t0:.1f}s)")
+            if use_val and stage.early_stopping:
+                vals = np.asarray(evaluate(params))
+                msg += f" val={np.array2string(vals, precision=3)}"
+                for k in range(num_folds):
+                    if not active[k]:
+                        continue
+                    v = float(vals[k])
+                    if best_vals[k] is None:
+                        best_vals[k] = v
+                    else:
+                        if best_vals[k] - v < -0.001:
+                            active[k] = False
+                        if v < best_vals[k]:
+                            best_vals[k] = v
+            log(msg)
+            if not active.any():
+                break
+
+    return [jax.tree_util.tree_map(lambda l: l[k], params)
+            for k in range(num_folds)]
