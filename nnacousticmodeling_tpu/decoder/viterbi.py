@@ -87,8 +87,63 @@ class ViterbiDecoder:
         self._p0 = jnp.asarray(p0)
 
         self._cube_order = self._detect_cube_order()
+        if self._cube_order is not None:
+            self._build_cube_obs_tables()
         self._decode_jit = jax.jit(jax.vmap(self._decode_device),
                                    static_argnums=())
+
+    def _build_cube_obs_tables(self):
+        """Tied-pdf observation tables for the cube fast path.
+
+        The naive per-frame pdf gather (995k lookups from the 1909-entry
+        posterior row) dominates decode time AND compile time on TPU.
+        State tying means each (center phone, state) only ever uses a
+        few dozen distinct pdfs (TIMIT: mean 13.7, max 35), so instead:
+        gather the tiny (P, 3, K) table of distinct-pdf scores per
+        frame, then expand to the cube with an exact one-hot
+        contraction over K (each output touches exactly one table
+        entry, so float32 results are bit-equal to the gather).
+        """
+        img = self.image
+        P = img.num_phones
+        cube = img.state_idxs.reshape(P, P, P, 3)
+        if self._cube_order == "abc":
+            # center phone is axis 1; normalize view to center-first
+            cube = cube.transpose(1, 0, 2, 3)
+        k_max = 0
+        tables = np.zeros((P, 3, 1), dtype=np.int32)
+        sels = np.zeros((P, P, P, 3), dtype=np.int32)
+        per_bs = {}
+        for b in range(P):
+            for s in range(3):
+                distinct, inverse = np.unique(cube[b, :, :, s],
+                                              return_inverse=True)
+                per_bs[(b, s)] = (distinct, inverse.reshape(P, P))
+                k_max = max(k_max, len(distinct))
+        table = np.zeros((P, 3, k_max), dtype=np.int32)
+        sel = np.zeros((P, P, P, 3), dtype=np.int32)
+        for (b, s), (distinct, inverse) in per_bs.items():
+            table[b, s, :len(distinct)] = distinct
+            sel[b, :, :, s] = inverse
+        if self._cube_order == "abc":
+            sel = sel.transpose(1, 0, 2, 3)
+        self._obs_pdf_table = jnp.asarray(table)    # (P, 3, K)
+        self._obs_sel = jnp.asarray(sel)            # cube-order (.., 3)
+        self._obs_k = k_max
+
+    def _cube_obs(self, lp_t):
+        """lp_t (S,) -> (P, P, P, 3) observation cube, gather-free."""
+        P = self.image.num_phones
+        vals = lp_t[self._obs_pdf_table]            # (P, 3, K) tiny gather
+        onehot = jax.nn.one_hot(self._obs_sel, self._obs_k,
+                                dtype=lp_t.dtype)   # (.., 3, K)
+        if self._cube_order == "bac":
+            # vals indexed by center phone = cube axis 0
+            return jnp.einsum("bacsk,bsk->bacs", onehot, vals,
+                              preferred_element_type=jnp.float32)
+        # 'abc': center phone = cube axis 1
+        return jnp.einsum("abcsk,bsk->abcs", onehot, vals,
+                          preferred_element_type=jnp.float32)
 
     # ------------------------------------------------------------------
     def _detect_cube_order(self) -> Optional[str]:
@@ -146,7 +201,7 @@ class ViterbiDecoder:
             p_mat, pp, tt = carry      # p (P,P), pp (P,P,P,3), tt int32
             lp_t, k = inp
             p_in = jnp.broadcast_to(p_in_from(p_mat) + pip, (P, P, P))
-            obs = lp_t[state_idxs]                          # (P,P,P,3)
+            obs = self._cube_obs(lp_t)                      # (P,P,P,3)
             go = jnp.stack([p_in, pp[..., 0] + tp_trans[..., 0],
                             pp[..., 1] + tp_trans[..., 1]], axis=-1)
             stay = pp + tp_self

@@ -38,8 +38,8 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--no-validation", dest="use_validation",
                         action="store_false")
     parser.add_argument("--no-progress", action="store_true")
-    parser.add_argument("--noplot", action="store_true",
-                        help="accepted for reference-CLI compatibility")
+    parser.add_argument("--noplot", dest="plot", action="store_false",
+                        help="disable loss/accuracy plot PNGs")
     parser.add_argument("--resume", "-r", default="",
                         help="resume from a training snapshot "
                              "(<out>/snapshot.npz written every epoch)")
@@ -218,7 +218,37 @@ def main(arg_list=None):
     import json
     with open(Path(args.out) / "log.json", "w") as f:
         json.dump(result.history, f, indent=1)
+    if args.plot:
+        _write_plots(result.history, args.out)
     return result
+
+
+def _write_plots(history, out_dir):
+    """loss.png / accuracy.png training curves (the reference's
+    PlotReport extension, train.py:348-355)."""
+    try:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except ImportError:
+        return
+    if not history:
+        return
+    epochs = range(1, len(history) + 1)
+    for metric, fname in [("loss", "loss.png"), ("accuracy", "accuracy.png")]:
+        fig, ax = plt.subplots(figsize=(6, 4))
+        ax.plot(epochs, [h[f"main/{metric}"] for h in history],
+                label=f"main/{metric}")
+        if f"validation/main/{metric}" in history[0]:
+            ax.plot(epochs, [h.get(f"validation/main/{metric}") for h in history],
+                    label=f"validation/main/{metric}")
+        ax.set_xlabel("epoch")
+        ax.set_ylabel(metric)
+        ax.legend()
+        fig.tight_layout()
+        fig.savefig(str(Path(out_dir) / fname), dpi=80)
+        plt.close(fig)
+    return
 
 
 if __name__ == "__main__":
