@@ -94,3 +94,25 @@ def test_log_softmax_matches_ref_logsum(rng):
     np.testing.assert_allclose(ours, ref, atol=1e-4)
     # rows sum to 1 in prob space
     np.testing.assert_allclose(np.exp(ours).sum(axis=1), 1.0, rtol=1e-4)
+
+
+def test_stopwatch():
+    from nnacousticmodeling_tpu.utils.profiling import Stopwatch
+    sw = Stopwatch()
+    with sw("a"):
+        pass
+    with sw("a"):
+        pass
+    with sw("b"):
+        pass
+    assert sw.counts["a"] == 2 and sw.counts["b"] == 1
+    assert "a:" in sw.report()
+
+
+def test_distributed_helpers_importable():
+    from nnacousticmodeling_tpu.parallel.distributed import (
+        local_batch_slice, pod_mesh)
+    s = local_batch_slice(16)   # single process: full slice
+    assert s == slice(0, 16)
+    mesh = pod_mesh({"data": 8})
+    assert mesh.devices.shape == (8,)
