@@ -55,11 +55,11 @@ except Exception:
 CACHE = Path(tempfile.gettempdir()) / "nnam_tpu_bench"
 PHONERECOG = "/root/reference/recog/PhoneRecog"
 
-NUM_UTTS = 64
+NUM_UTTS = 128
 FRAMES_PER_UTT = 400          # ~4 s of audio at 100 fps
 DIM = 40
 BUCKET = 512
-BATCH = 32
+BATCH = 128
 BASELINE_UTTS = 2
 BASELINE_MAX_FRAMES = 120   # per-timestep loop measured on a slice and
                             # scaled per audio-second (tunnel dispatch is

@@ -146,6 +146,21 @@ def convert_mgru(src: Mapping[str, np.ndarray], layers: int,
     return {"cells": cells, "out": convert_dense(src, f"{prefix}/out")}
 
 
+def convert_tdnn(src: Mapping[str, np.ndarray], num_layers: int,
+                 prefix: str = "predictor") -> Dict:
+    """Chainer TDNN (Convolution2D ksize (1, k), chainer_networks.py:35)
+    -> our conv params. Requires a TDNN built with chainer_layout=True,
+    which reproduces the reference's raw (channels=D, width=winlen)
+    reshape of the spliced input."""
+    conv = []
+    for l in range(num_layers):
+        w = np.asarray(src[f"{prefix}/layer_{l}/W"], np.float32)  # (out,in,1,k)
+        b = np.asarray(src[f"{prefix}/layer_{l}/b"], np.float32)
+        conv.append({"w": jnp.asarray(w[:, :, 0, :].transpose(2, 1, 0)),
+                     "b": jnp.asarray(b)})
+    return {"conv": conv, "out": convert_dense(src, f"{prefix}/out")}
+
+
 def convert_rpl4(src: Mapping[str, np.ndarray],
                  prefix: str = "predictor") -> Dict:
     return {
@@ -161,6 +176,8 @@ def convert_checkpoint(npz_path: str, network: str, layers: int,
     src = dict(np.load(npz_path))
     if network == "ff":
         return convert_mlp(src, layers, prefix)
+    if network == "tdnn":
+        return convert_tdnn(src, layers, prefix)
     if network in ("lstm", "zoneoutlstm", "zoneoutdropoutlstm"):
         return convert_lstm(src, layers, prefix)
     if network == "peepholelstm":

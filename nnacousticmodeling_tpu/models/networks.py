@@ -110,6 +110,11 @@ class TDNN:
     ksize: Sequence[int]
     dropout: float = 0.0
     activation: str = "relu"
+    #: reproduce the reference's raw reshape of the spliced vector to
+    #: (channels=D, width=winlen) — chainer_networks.py:39 — whose
+    #: "channels" are scrambled mixtures of shifts; needed only for
+    #: converting reference-trained TDNN checkpoints
+    chainer_layout: bool = False
 
     is_recurrent: bool = False
 
@@ -142,7 +147,11 @@ class TDNN:
         act = ACTIVATIONS[self.activation]
         n = x.shape[0]
         winlen = self.input_win_size
-        x = x.reshape(n, winlen, -1)               # (N, W, D)
+        if self.chainer_layout:
+            # (N, C=D, W) raw row-major reshape, then to NWC
+            x = x.reshape(n, -1, winlen).transpose(0, 2, 1)
+        else:
+            x = x.reshape(n, winlen, -1)           # (N, W, D)
         keys = _split(rng, len(self.units))
         for l, k in enumerate(self.ksize):
             w = params["conv"][l]["w"]

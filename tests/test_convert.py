@@ -207,3 +207,46 @@ def test_rpl4_conversion(rng):
     x = jnp.asarray(rng.standard_normal((3, 6)).astype(np.float32))
     got = rpl.apply(params, x)
     assert np.isfinite(np.asarray(got)).all()
+
+
+def test_tdnn_conversion(rng):
+    """Numpy oracle of the chainer TDNN semantics (scrambled reshape +
+    (1,k) convs) vs our chainer_layout TDNN with converted weights."""
+    from nnacousticmodeling_tpu.models import TDNN
+    from nnacousticmodeling_tpu.models.convert import convert_tdnn
+
+    D, ks, units, classes = 3, (3, 3), (4, 5), 6
+    winlen = sum(ks) - len(ks) + 1          # 5
+    src = {}
+    in_c = D
+    for l, (k, u) in enumerate(zip(ks, units)):
+        src[f"predictor/layer_{l}/W"] = rng.standard_normal(
+            (u, in_c, 1, k)).astype(np.float32) * 0.3
+        src[f"predictor/layer_{l}/b"] = rng.standard_normal(u).astype(
+            np.float32) * 0.1
+        in_c = u
+    out = _rand_linear(rng, classes, units[-1])
+    src["predictor/out/W"] = out["W"]
+    src["predictor/out/b"] = out["b"]
+
+    x = rng.standard_normal((4, winlen * D)).astype(np.float32)
+
+    # chainer oracle
+    h = x.reshape(4, -1, 1, winlen)         # (N, C=D, 1, W)
+    for l, k in enumerate(ks):
+        w = src[f"predictor/layer_{l}/W"]
+        b = src[f"predictor/layer_{l}/b"]
+        n, c, _, wlen = h.shape
+        out_w = wlen - k + 1
+        new = np.zeros((n, w.shape[0], 1, out_w), np.float32)
+        for pos in range(out_w):
+            patch = h[:, :, 0, pos:pos + k]            # (N, C, k)
+            new[:, :, 0, pos] = np.einsum("nck,ock->no", patch, w[:, :, 0, :])
+        h = np.maximum(new + b[None, :, None, None], 0)
+    ref = h.reshape(4, -1) @ out["W"].T + out["b"]
+
+    net = TDNN(units=units, num_classes=classes, ksize=ks,
+               chainer_layout=True)
+    params = convert_tdnn(src, len(ks))
+    got = np.asarray(net.apply(params, jnp.asarray(x)))
+    np.testing.assert_allclose(got, ref, atol=1e-4)
