@@ -19,3 +19,17 @@ pipeline  orchestration: folds, predict, evaluate, master script
 """
 
 __version__ = "0.1.0"
+
+# Honor JAX_PLATFORMS even when a sitecustomize imported jax before this
+# process's environment was applied (this container pre-imports jax with
+# the TPU-tunnel platform pinned, so plain env edits are silently lost).
+import os as _os
+
+if "JAX_PLATFORMS" in _os.environ:
+    try:
+        import jax as _jax
+
+        if _jax.config.jax_platforms != _os.environ["JAX_PLATFORMS"]:
+            _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
+    except Exception:  # jax missing or backends already initialized
+        pass
