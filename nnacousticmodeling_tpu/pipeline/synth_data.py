@@ -38,6 +38,8 @@ def main(arg_list=None):
     parser.add_argument("--num-test", type=int, default=32)
     parser.add_argument("--noise", type=float, default=1.0)
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--ivector-dim", type=int, default=0,
+                        help="generate speaker i-vectors of this dim")
     args = parser.parse_args(list(map(str, arg_list)) if arg_list is not None
                              else None)
 
@@ -48,7 +50,8 @@ def main(arg_list=None):
                                    seed=args.seed, tied=False)
     corpus = make_synthetic_corpus(
         img, dim=args.dim, num_train=args.num_train, num_dev=args.num_dev,
-        num_test=args.num_test, noise=args.noise, seed=args.seed)
+        num_test=args.num_test, noise=args.noise, seed=args.seed,
+        ivector_dim=args.ivector_dim)
     write_corpus_tree(corpus, args.root)
     recog = Path(args.root) / "recog"
     save_image(str(recog / "kaldiTri1909.img"), img)

@@ -34,6 +34,7 @@ class SyntheticCorpus:
     ref_mlf: Dict[str, List[Tuple[str, List[Tuple[int, int, str]]]]]  # split -> entries
     pdf_means: np.ndarray       # (num_pdfs, dim)
     log_priors: np.ndarray      # (1, num_pdfs)
+    spk_means: np.ndarray = None  # (num_speakers, ivector_dim)
 
 
 def _sample_utterance(img: HmmImage, rng, dim, pdf_means, noise,
@@ -98,25 +99,46 @@ def make_synthetic_corpus(
     seed: int = 0,
     min_phones: int = 3,
     max_phones: int = 10,
+    ivector_dim: int = 0,
+    num_speakers: int = 8,
 ) -> SyntheticCorpus:
+    """With ``ivector_dim`` > 0 each of the ``num_speakers`` synthetic
+    speakers gets a bias added to every frame plus a per-frame i-vector
+    (the speaker embedding + small noise), reproducing the reference's
+    speaker-adaptation data contract (README.md:39-42): adapted models
+    can undo the speaker bias from the appended i-vectors."""
     rng = np.random.default_rng(seed)
     pdf_means = rng.standard_normal((img.num_states, dim)).astype(np.float32)
+    spk_means = None
+    spk_bias = None
+    if ivector_dim > 0:
+        spk_means = rng.standard_normal(
+            (num_speakers, ivector_dim)).astype(np.float32)
+        proj = rng.standard_normal((ivector_dim, dim)).astype(np.float32)
+        spk_bias = (spk_means @ proj) * 0.6        # per-speaker feature shift
 
     splits = {}
     mlfs = {}
     counts = np.zeros(img.num_states, dtype=np.int64)
     for split, count in [("train", num_train), ("dev", num_dev),
                          ("test", num_test)]:
-        datas, targets, offsets, names, entries = [], [], [0], [], []
+        datas, targets, offsets, names, entries, ivecs = \
+            [], [], [0], [], [], []
         for u in range(count):
             x, y, segs = _sample_utterance(img, rng, dim, pdf_means, noise,
                                            min_phones, max_phones)
+            # first 5 chars are the "speaker" (generate_folds groups by
+            # them): rotate utterances over the synthetic speakers
+            spk = u % num_speakers
+            if spk_bias is not None:
+                x = x + spk_bias[spk]
+                iv = np.tile(spk_means[spk], (x.shape[0], 1))
+                iv = iv + 0.05 * rng.standard_normal(iv.shape)
+                ivecs.append(iv.astype(np.float32))
             datas.append(x)
             targets.append(y)
             offsets.append(offsets[-1] + x.shape[0])
-            # first 5 chars are the "speaker" (generate_folds groups by
-            # them): rotate utterances over 8 synthetic speakers
-            name = f"{split[0].upper()}{u % 8:04d}_SX{u:04d}"
+            name = f"{split[0].upper()}{spk:04d}_SX{u:04d}"
             names.append(name)
             entries.append((name, segs))
             if split == "train":
@@ -125,6 +147,7 @@ def make_synthetic_corpus(
             data=np.concatenate(datas, axis=0),
             offsets=np.asarray(offsets, dtype=np.int64),
             targets=np.concatenate(targets, axis=0),
+            ivectors=(np.concatenate(ivecs, axis=0) if ivecs else None),
             utt_names=names,
         )
         mlfs[split] = entries
@@ -133,7 +156,8 @@ def make_synthetic_corpus(
     log_priors = np.log(probs).astype(np.float32)[None, :]
     return SyntheticCorpus(train=splits["train"], dev=splits["dev"],
                            test=splits["test"], ref_mlf=mlfs,
-                           pdf_means=pdf_means, log_priors=log_priors)
+                           pdf_means=pdf_means, log_priors=log_priors,
+                           spk_means=spk_means)
 
 
 def write_corpus_tree(corpus: SyntheticCorpus, root: str) -> None:
@@ -150,6 +174,9 @@ def write_corpus_tree(corpus: SyntheticCorpus, root: str) -> None:
         np.save(root_p / "data" / f"targets_{split}.npy", c.targets)
         (root_p / "data" / f"{split}.list").write_text(
             "\n".join(c.utt_names) + "\n")
+        if c.ivectors is not None:
+            (root_p / "ivectors").mkdir(exist_ok=True)
+            np.save(root_p / "ivectors" / f"ivectors_{split}.npy", c.ivectors)
         write_mlf(str(root_p / "recog" / f"{split}_ref.mlf"),
                   corpus.ref_mlf[split], ext="rec")
     np.save(root_p / "recog" / "log_priors.npy", corpus.log_priors)

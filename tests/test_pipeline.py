@@ -68,3 +68,37 @@ def test_master_pipeline_ensemble(corpus_root):
     full = results[("test", "+folds +master -rpl")]
     master_only = results[("test", "-folds +master -rpl")]
     assert full <= master_only + 15.0
+
+
+def test_ivector_adaptation_pipeline(tmp_path):
+    """Speaker-biased synthetic corpus with i-vectors: the master
+    pipeline with --ivector-dir must run end to end and the adapted
+    model must beat the unadapted one on PER."""
+    root = str(tmp_path / "ivcorp")
+    synth_main(["--root", root, "--num-phones", 5, "--dim", 12,
+                "--num-train", 48, "--num-dev", 12, "--num-test", 12,
+                "--noise", 0.4, "--seed", 3, "--ivector-dim", 8])
+    import os
+    assert os.path.isfile(f"{root}/ivectors/ivectors_train.npy")
+
+    def run(ivector: bool):
+        args = [
+            "--data-dir", f"{root}/data", "--offset-dir", f"{root}/data",
+            "--target-dir", f"{root}/data", "--utt-list-dir", f"{root}/data",
+            "--recog-dir", f"{root}/recog",
+            "--output-dir", f"{root}/results",
+            "--output-id", "iv" if ivector else "noiv",
+            "--network-spec=-n ff -l 1 -u 48",
+            "--epoch", "4", "-o", "adam", "-b", "256",
+            "--early-stopping", "false",
+            "--PIP", "5", "--seed", "0", "--num-classes", "17",
+            "--num-folds", "0", "--eval-only-master",
+            "--eval-data", "test",
+        ]
+        if ivector:
+            args += ["--ivector-dir", f"{root}/ivectors", f"{root}/ivectors"]
+        return master_main(args)
+
+    adapted = run(True)[("test", "-folds +master -rpl")]
+    plain = run(False)[("test", "-folds +master -rpl")]
+    assert adapted <= plain + 1.0, (adapted, plain)
