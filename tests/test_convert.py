@@ -250,3 +250,48 @@ def test_tdnn_conversion(rng):
     params = convert_tdnn(src, len(ks))
     got = np.asarray(net.apply(params, jnp.asarray(x)))
     np.testing.assert_allclose(got, ref, atol=1e-4)
+
+
+def test_parity_cli_roundtrip(tmp_path, rng):
+    """Full parity-gate drive: synthesize a chainer-layout checkpoint,
+    compute 'reference' posteriors with the numpy LSTM oracle, and the
+    CLI must declare parity."""
+    from nnacousticmodeling_tpu.pipeline.parity import main as parity_main
+    from nnacousticmodeling_tpu.ops.numerics import ref_logsum
+
+    in_dim, units, T = 6, 5, 40
+    src = {}
+    src["predictor/layer_0/upward/W"] = rng.standard_normal(
+        (4 * units, in_dim)).astype(np.float32) * 0.3
+    src["predictor/layer_0/upward/b"] = rng.standard_normal(
+        4 * units).astype(np.float32) * 0.1
+    src["predictor/layer_0/lateral/W"] = rng.standard_normal(
+        (4 * units, units)).astype(np.float32) * 0.3
+    out = _rand_linear(rng, 7, units)
+    src["predictor/out/W"] = out["W"]
+    src["predictor/out/b"] = out["b"]
+    np.savez(tmp_path / "model.npz", **src)
+
+    x = rng.standard_normal((T, in_dim)).astype(np.float32)
+    offsets = np.array([0, 25, T])
+    np.save(tmp_path / "data_test.npy", x)
+    np.save(tmp_path / "offsets_test.npy", offsets)
+
+    # reference posteriors via the chainer-semantics oracle per utterance
+    refs = []
+    for u in range(2):
+        seg = x[offsets[u]:offsets[u + 1]][None]
+        h = _chainer_lstm_oracle(src, "predictor/layer_0", seg)[0]
+        logits = h @ out["W"].T + out["b"]
+        refs.append(logits - ref_logsum(logits, axis=1))
+    np.save(tmp_path / "ref_post.npy", np.concatenate(refs, axis=0))
+
+    ok = parity_main([
+        "--checkpoint", str(tmp_path / "model.npz"),
+        "-n", "lstm", "-l", "1", "-u", "5", "--num-classes", "7",
+        "--data-dir", str(tmp_path), "--offset-dir", str(tmp_path),
+        "--out", str(tmp_path / "ours.npy"),
+        "--reference-posteriors", str(tmp_path / "ref_post.npy"),
+        "--atol", "1e-4",
+    ])
+    assert ok is True
