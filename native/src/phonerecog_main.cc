@@ -11,11 +11,13 @@
 // tree); this is a from-spec reimplementation sharing the image and
 // matrix formats.
 
+#include <atomic>
 #include <cmath>
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
 #include <string>
+#include <thread>
 #include <vector>
 
 #include "decoder.h"
@@ -72,16 +74,30 @@ int main(int argc, char** argv) {
 
   nnam::Decoder decoder(image, pip);
   std::vector<std::vector<nnam::Segment>> results(files.size());
-  std::vector<bool> ok(files.size(), false);
+  // vector<char>, not vector<bool>: the bitfield specialization
+  // would make parallel writes to adjacent indices race
+  std::vector<char> ok(files.size(), 0);
 
-#pragma omp parallel for schedule(dynamic)
-  for (long i = 0; i < long(files.size()); ++i) {
-    nnam::Matrix m;
-    if (LoadMatrix(files[i], &m)) {
-      results[i] = decoder.Decode(m.data.data(), m.rows, m.cols);
-      ok[i] = true;
+  // dynamic work queue over utterances (TSan-clean std::thread pool;
+  // replaces the reference's OpenMP parallel-for, main.cpp:51-64)
+  std::atomic<size_t> next(0);
+  auto worker = [&]() {
+    for (;;) {
+      const size_t i = next.fetch_add(1);
+      if (i >= files.size()) return;
+      nnam::Matrix m;
+      if (LoadMatrix(files[i], &m)) {
+        results[i] = decoder.Decode(m.data.data(), m.rows, m.cols);
+        ok[i] = 1;
+      }
     }
-  }
+  };
+  const unsigned n_threads =
+      std::max(1u, std::thread::hardware_concurrency());
+  std::vector<std::thread> pool;
+  for (unsigned t = 1; t < n_threads; ++t) pool.emplace_back(worker);
+  worker();
+  for (auto& th : pool) th.join();
 
   FILE* out = std::fopen(out_path, "w");
   if (!out) {
