@@ -55,6 +55,10 @@ def build_parser():
     parser.add_argument("--master-network", default="-")
     parser.add_argument("--out-mlf", default=None,
                         help="write the decoded MLF here")
+    parser.add_argument("--decoder", default="tpu",
+                        choices=["tpu", "native"],
+                        help="decode in-graph on device (tpu) or with "
+                             "the C++ host library (native)")
     parser.add_argument("--no-progress", action="store_true")
     return parser
 
@@ -137,9 +141,13 @@ def main(arg_list=None):
     # reproduce that by decoding the unshifted posterior sequence.
 
     # ---- decode (in-process, replaces the PhoneRecog subprocess) ------
-    img = load_image(str(Path(args.recog_dir, args.image)))
-    dec = ViterbiDecoder(img, pip=args.PIP, lmw=args.LMW)
-    lengths = np.diff(offsets)
+    image_path = str(Path(args.recog_dir, args.image))
+    if args.decoder == "native":
+        from ..decoder.native import NativeDecoder
+        dec = NativeDecoder(image_path, pip=args.PIP, lmw=args.LMW)
+    else:
+        img = load_image(image_path)
+        dec = ViterbiDecoder(img, pip=args.PIP, lmw=args.LMW)
     results = []
     for u in range(len(utt_list)):
         results.append(dec.decode_one(

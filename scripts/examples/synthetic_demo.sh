@@ -4,7 +4,7 @@
 # full fold/RPL pipeline on it.
 set -e
 python -m nnacousticmodeling_tpu.pipeline.synth_data --root synth_demo \
-    --timit-graph --num-train 96 --num-dev 24 --num-test 24
+    --timit-graph --num-train 64 --num-dev 16 --num-test 12
 python -m nnacousticmodeling_tpu.pipeline.master \
     --data-dir synth_demo/data --offset-dir synth_demo/data \
     --target-dir synth_demo/data --utt-list-dir synth_demo/data \

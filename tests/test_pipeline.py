@@ -102,3 +102,29 @@ def test_ivector_adaptation_pipeline(tmp_path):
     adapted = run(True)[("test", "-folds +master -rpl")]
     plain = run(False)[("test", "-folds +master -rpl")]
     assert adapted <= plain + 1.0, (adapted, plain)
+
+
+def test_native_decoder_backend_matches_tpu(corpus_root, tmp_path):
+    """evaluate --decoder native must produce the same PER as the
+    in-graph decoder."""
+    from nnacousticmodeling_tpu.decoder.native import build_native
+    if not build_native():
+        pytest.skip("native toolchain unavailable")
+    out = str(tmp_path / "ff_model")
+    train_main(["--num-classes", "17", "--out", out, "-n", "ff", "-l", "1",
+                "-u", "32",
+                "--data-dir", f"{corpus_root}/data",
+                "--offset-dir", f"{corpus_root}/data",
+                "--target-dir", f"{corpus_root}/data",
+                "--epoch", "2", "-o", "adam", "-b", "256",
+                "--early-stopping", "false", "--seed", "0"])
+    common = ["--num-classes", "17", "-n", "ff", "-l", "1", "-u", "32",
+              "--model", f"{out}/model",
+              "--data-dir", f"{corpus_root}/data",
+              "--offset-dir", f"{corpus_root}/data",
+              "--utt-list-dir", f"{corpus_root}/data",
+              "--recog-dir", f"{corpus_root}/recog",
+              "--PIP", "5", "--test-or-dev", "test"]
+    per_tpu = evaluate_main(common + ["--decoder", "tpu"])
+    per_native = evaluate_main(common + ["--decoder", "native"])
+    assert per_tpu == pytest.approx(per_native, abs=1e-9)
