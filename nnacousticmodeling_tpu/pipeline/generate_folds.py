@@ -66,7 +66,12 @@ def main(arg_list=None):
             np.savez(str(utt_idx_file), *utt_idx)
 
     for k in range(args.n):
-        fold_data, fold_targets, fold_iv = [], [], []
+        # empty folds are possible with few speakers; emit empty arrays
+        # instead of crashing (the reference would crash here)
+        fold_data = [np.zeros((0, data.shape[1]), data.dtype)]
+        fold_targets = [np.zeros((0,), targets.dtype)]
+        fold_iv = ([np.zeros((0, ivectors.shape[1]), ivectors.dtype)]
+                   if ivectors is not None else [])
         fold_offsets = [0]
         count = 0
         for i in utt_idx[k]:
