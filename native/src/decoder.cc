@@ -21,7 +21,18 @@ bool Image::Load(const std::string& path, float lmw) {
   FILE* f = std::fopen(path.c_str(), "rb");
   if (!f) return false;
   int32_t hdr[4];
-  bool ok = ReadI32(f, hdr, 4);
+  if (!ReadI32(f, hdr, 4)) {
+    std::fclose(f);
+    return false;
+  }
+  // sanity bounds before any allocation (1e8 is far above any real image)
+  for (int i = 0; i < 4; ++i) {
+    if (hdr[i] <= 0 || hdr[i] > 100000000) {
+      std::fclose(f);
+      return false;
+    }
+  }
+  bool ok = true;
   num_phones = hdr[0];
   num_biphones = hdr[1];
   num_triphones = hdr[2];

@@ -352,6 +352,10 @@ class ViterbiDecoder:
             raise ValueError(
                 f"posterior columns {log_probs.shape[1]} != image states "
                 f"{self.image.num_states}")
+        if log_probs.shape[0] >= TIME_PACK:
+            raise ValueError(
+                f"utterance of {log_probs.shape[0]} frames exceeds the "
+                f"packed-backpointer limit {TIME_PACK - 1}; split it")
         segs, count = self._decode_jit(
             jnp.asarray(log_probs)[None],
             jnp.asarray([log_probs.shape[0]], dtype=jnp.int32))
@@ -368,6 +372,10 @@ class ViterbiDecoder:
         """
         if log_probs.shape[2] != self.image.num_states:
             raise ValueError("posterior/state mismatch")
+        if log_probs.shape[1] >= TIME_PACK:
+            raise ValueError(
+                f"padded length {log_probs.shape[1]} exceeds the packed-"
+                f"backpointer limit {TIME_PACK - 1}; split utterances")
         segs, counts = self._decode_jit(
             jnp.asarray(log_probs),
             jnp.asarray(lengths, dtype=jnp.int32))

@@ -97,4 +97,6 @@ def utt_base_name(path: str) -> str:
             b = i + 1
         if c == ".":
             e = i
+    if e <= b:  # dot only in a directory component
+        e = len(path)
     return path[b:e]

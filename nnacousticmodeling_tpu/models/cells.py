@@ -150,7 +150,10 @@ def peephole_lstm_step(params, carry, x_proj):
 
 
 # ---------------------------------------------------------------------------
-# GRU (Chainer L.GRU twin: h' = z*h + (1-z)*h_bar)
+# GRU (Chainer L.GRU / StatefulGRU twin: h' = z*h_bar + (1-z)*h — note
+# Chainer's z gates the CANDIDATE, not the old state; the reference's
+# MGRU is a verbatim derivative of this link and shares the convention,
+# MGRU.py:81)
 # ---------------------------------------------------------------------------
 
 def gru_init(key, in_dim, units):
@@ -169,16 +172,33 @@ def gru_input_proj(params, x):
     return x @ params["wx"] + params["bx"]
 
 
+def gru_init_state(batch, units, dtype=jnp.float32):
+    """Carry = (h, fresh): ``fresh`` (B, 1) is 1.0 until the first step
+    has run. Chainer's stateful links skip the ENTIRE U term — including
+    its bias — while ``h is None`` (MGRU.py:70-76); with h0 = 0 the
+    matmul part vanishes on its own, and ``fresh`` gates the converted
+    checkpoints' U-side biases (params key "bu") so first-frame outputs
+    match exactly. Natively-initialized params have no "bu" and the flag
+    is inert."""
+    return (jnp.zeros((batch, units), dtype=dtype),
+            jnp.ones((batch, 1), dtype=dtype))
+
+
 def gru_step(params, carry, x_proj):
-    h = carry
+    h, fresh = carry
     units = h.shape[-1]
     rz = x_proj[:, :2 * units] + h @ params["wh_rz"]
+    c_in = x_proj[:, 2 * units:]
+    if "bu" in params:           # converted checkpoints: U biases, gated
+        live = 1.0 - fresh
+        rz = rz + live * params["bu"][:2 * units]
+        c_in = c_in + live * params["bu"][2 * units:]
     r = jax.nn.sigmoid(rz[:, :units])
     z = jax.nn.sigmoid(rz[:, units:])
-    h_bar = jnp.tanh(x_proj[:, 2 * units:] + (r * h) @ params["wh_c"])
-    # Chainer GRU: F.linear_interpolate(z, h, h_bar) = z*h + (1-z)*h_bar
-    h_new = z * h + (1.0 - z) * h_bar
-    return h_new, h_new
+    h_bar = jnp.tanh(c_in + (r * h) @ params["wh_c"])
+    # Chainer GRU: F.linear_interpolate(z, h_bar, h) = z*h_bar + (1-z)*h
+    h_new = z * h_bar + (1.0 - z) * h
+    return (h_new, jnp.zeros_like(fresh)), h_new
 
 
 # ---------------------------------------------------------------------------
@@ -215,13 +235,22 @@ def mgru_input_proj(params, x, use_reset_gate):
 
 
 def mgru_step(params, carry, x_proj, *, use_reset_gate, activation):
-    h = carry
+    h, fresh = carry             # fresh: see gru_init_state
     units = h.shape[-1]
-    z = jax.nn.sigmoid(x_proj[:, :units] + h @ params["u_z"])
+    z_in = x_proj[:, :units]
+    c_in = x_proj[:, units:2 * units]
+    if "bu_z" in params:
+        live = 1.0 - fresh
+        z_in = z_in + live * params["bu_z"]
+        c_in = c_in + live * params["bu"]
+    z = jax.nn.sigmoid(z_in + h @ params["u_z"])
     if use_reset_gate:
-        r = jax.nn.sigmoid(x_proj[:, 2 * units:] + h @ params["u_r"])
-        h_bar = activation(x_proj[:, units:2 * units] + (r * h) @ params["u"])
+        r_in = x_proj[:, 2 * units:]
+        if "bu_r" in params:
+            r_in = r_in + (1.0 - fresh) * params["bu_r"]
+        r = jax.nn.sigmoid(r_in + h @ params["u_r"])
+        h_bar = activation(c_in + (r * h) @ params["u"])
     else:
-        h_bar = activation(x_proj[:, units:2 * units] + h @ params["u"])
+        h_bar = activation(c_in + h @ params["u"])
     h_new = z * h_bar + (1.0 - z) * h
-    return h_new, h_new
+    return (h_new, jnp.zeros_like(fresh)), h_new

@@ -13,9 +13,11 @@ Layout facts encoded here:
   ``h*4 + g`` with gate order (a, i, f, o). Ours packs gates in blocks
   [a | i | f | o] of width H each.
 * ``L.GRU`` / MGRU: six separate Linear links (W_r, U_r, W_z, U_z, W,
-  U), every one with its own bias; our cells keep a single input-side
-  bias, so the U biases fold into it (mathematically identical since
-  both are added once per step).
+  U), every one with its own bias, and the whole U term — bias included
+  — is skipped while ``h is None`` (the first step after a reset). The
+  W biases go to the input projection; the U biases convert to the
+  cells' first-step-gated ``bu*`` params so first-frame outputs match
+  Chainer exactly.
 * ``L.StatefulPeepholeLSTM``: upward/lateral like LSTM plus full-matrix
   ``peep_i/f/o`` links (no bias).
 * RPL4: parameters W, b, lb of shape (1, C) — identical layout.
@@ -112,7 +114,11 @@ def convert_gru(src: Mapping[str, np.ndarray], layers: int,
         cells.append({
             "wx": jnp.asarray(np.concatenate([w_r, w_z, w], axis=1)),
             "bx": jnp.asarray(np.concatenate(
-                [b_wr + b_ur, b_wz + b_uz, b_w + b_u]).astype(np.float32)),
+                [b_wr, b_wz, b_w]).astype(np.float32)),
+            # U-side biases, skipped on the first step after a state
+            # reset exactly like Chainer's ``h is None`` branch
+            "bu": jnp.asarray(np.concatenate(
+                [b_ur, b_uz, b_u]).astype(np.float32)),
             "wh_rz": jnp.asarray(np.concatenate([u_r, u_z], axis=1)),
             "wh_c": jnp.asarray(u),
         })
@@ -129,19 +135,17 @@ def convert_mgru(src: Mapping[str, np.ndarray], layers: int,
             "u_z": jnp.asarray(_lin(src[f"{p}/U_z/W"])),
             "w": jnp.asarray(_lin(src[f"{p}/W/W"])),
             "u": jnp.asarray(_lin(src[f"{p}/U/W"])),
-            "b_z": jnp.asarray((np.asarray(src[f"{p}/W_z/b"])
-                                + np.asarray(src[f"{p}/U_z/b"])
-                                ).astype(np.float32)),
-            "b": jnp.asarray((np.asarray(src[f"{p}/W/b"])
-                              + np.asarray(src[f"{p}/U/b"])
-                              ).astype(np.float32)),
+            "b_z": jnp.asarray(np.asarray(src[f"{p}/W_z/b"], np.float32)),
+            "b": jnp.asarray(np.asarray(src[f"{p}/W/b"], np.float32)),
+            # U-side biases, first-step gated (see cells.gru_init_state)
+            "bu_z": jnp.asarray(np.asarray(src[f"{p}/U_z/b"], np.float32)),
+            "bu": jnp.asarray(np.asarray(src[f"{p}/U/b"], np.float32)),
         }
         if use_reset_gate:
             cell["w_r"] = jnp.asarray(_lin(src[f"{p}/W_r/W"]))
             cell["u_r"] = jnp.asarray(_lin(src[f"{p}/U_r/W"]))
-            cell["b_r"] = jnp.asarray((np.asarray(src[f"{p}/W_r/b"])
-                                       + np.asarray(src[f"{p}/U_r/b"])
-                                       ).astype(np.float32))
+            cell["b_r"] = jnp.asarray(np.asarray(src[f"{p}/W_r/b"], np.float32))
+            cell["bu_r"] = jnp.asarray(np.asarray(src[f"{p}/U_r/b"], np.float32))
         cells.append(cell)
     return {"cells": cells, "out": convert_dense(src, f"{prefix}/out")}
 

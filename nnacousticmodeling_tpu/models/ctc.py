@@ -49,38 +49,14 @@ class BiRNNCTC:
 
     def apply_sequence(self, params, xs, rng=None, train=False):
         """(B, T, D) -> (B, T, num_phones+1) logits."""
-        def hidden(stack_params, seq, key):
-            # run the stack but take the last layer's hidden sequence
-            # (drop its projection): reuse apply_sequence up to "out"
-            b, t, _ = seq.shape
-            state = self.base.init_state(b)
-            keys = (jax.random.split(key, self.base.layers + 1)
-                    if key is not None else [None] * (self.base.layers + 1))
-            from .networks import dropout
-            h = dropout(keys[0], seq, self.base.input_dropout_rate, train)
-            for l in range(self.base.layers):
-                lp = stack_params["cells"][l]
-                proj = self.base._cell_input_proj(lp, h.reshape(b * t, -1))
-                proj = proj.reshape(b, t, -1).transpose(1, 0, 2)
-                step_keys = (jax.random.split(keys[l + 1], t)
-                             if keys[l + 1] is not None
-                             else jnp.zeros((t, 2), jnp.uint32))
-
-                def scan_fn(carry, inp, _lp=lp):
-                    x_proj, k = inp
-                    k = k if key is not None else None
-                    return self.base._cell_step(_lp, carry, x_proj, k, train)
-
-                _, hs = jax.lax.scan(scan_fn, state[l], (proj, step_keys))
-                h = dropout(keys[l + 1], hs.transpose(1, 0, 2),
-                            self.base.layer_dropout_rate, train)
-            return h
-
         kf = kb = None
         if rng is not None:
             kf, kb = jax.random.split(rng)
-        h_fwd = hidden(params["fwd"], xs, kf)
-        h_bwd = hidden(params["bwd"], xs[:, ::-1], kb)[:, ::-1]
+        h_fwd, _ = self.base.hidden_sequence(params["fwd"], xs, rng=kf,
+                                             train=train)
+        h_bwd, _ = self.base.hidden_sequence(params["bwd"], xs[:, ::-1],
+                                             rng=kb, train=train)
+        h_bwd = h_bwd[:, ::-1]
         h = jnp.concatenate([h_fwd, h_bwd], axis=-1)
         b, t, _ = h.shape
         logits = cells.dense(params["out"], h.reshape(b * t, -1))

@@ -223,9 +223,11 @@ class _RecurrentStack:
             x = dropout(keys[l + 1], h, self.layer_dropout_rate, train)
         return new_state, cells.dense(params["out"], x)
 
-    def apply_sequence(self, params, xs, state=None, rng=None, train=False):
-        """(B, T, D) -> ((B, T, C), state). Layer-by-layer scans with
-        hoisted input projections."""
+    def hidden_sequence(self, params, xs, state=None, rng=None, train=False):
+        """(B, T, D) -> ((B, T, H) last-layer hiddens, state).
+        Layer-by-layer scans with hoisted input projections; shared by
+        ``apply_sequence`` and wrappers that replace the output
+        projection (e.g. the CTC head)."""
         b, t, _ = xs.shape
         if state is None:
             state = self.init_state(b)
@@ -249,7 +251,13 @@ class _RecurrentStack:
             new_state.append(carry)
             xs = dropout(keys[l + 1], hs.transpose(1, 0, 2),
                          self.layer_dropout_rate, train)       # (B, T, H)
-        logits = cells.dense(params["out"], xs.reshape(b * t, -1))
+        return xs, new_state
+
+    def apply_sequence(self, params, xs, state=None, rng=None, train=False):
+        """(B, T, D) -> ((B, T, C), state)."""
+        b, t, _ = xs.shape
+        hs, new_state = self.hidden_sequence(params, xs, state, rng, train)
+        logits = cells.dense(params["out"], hs.reshape(b * t, -1))
         return logits.reshape(b, t, -1), new_state
 
 
@@ -356,7 +364,7 @@ class GRU(_RecurrentStack):
         return cells.gru_step(params, carry, x_proj)
 
     def _cell_state(self, batch):
-        return jnp.zeros((batch, self.units), dtype=jnp.float32)
+        return cells.gru_init_state(batch, self.units)
 
 
 @dataclass(frozen=True)
@@ -383,7 +391,7 @@ class MGRUNet(_RecurrentStack):
                                activation=ACTIVATIONS[self.activation])
 
     def _cell_state(self, batch):
-        return jnp.zeros((batch, self.units), dtype=jnp.float32)
+        return cells.gru_init_state(batch, self.units)
 
 
 # ---------------------------------------------------------------------------

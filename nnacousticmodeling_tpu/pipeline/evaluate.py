@@ -18,6 +18,7 @@ import jax
 import numpy as np
 
 from ..decoder import ViterbiDecoder, compute_per
+from ..decoder.corpus_decode import decode_corpus
 from ..decoder.image import load_image
 from ..infer import ensemble_log_posteriors
 from ..io import load_mlf, load_phone_map, write_mlf
@@ -145,13 +146,15 @@ def main(arg_list=None):
     if args.decoder == "native":
         from ..decoder.native import NativeDecoder
         dec = NativeDecoder(image_path, pip=args.PIP, lmw=args.LMW)
+        results = [dec.decode_one(
+            np.ascontiguousarray(lp[offsets[u]:offsets[u + 1]]))
+            for u in range(len(utt_list))]
     else:
         img = load_image(image_path)
         dec = ViterbiDecoder(img, pip=args.PIP, lmw=args.LMW)
-    results = []
-    for u in range(len(utt_list)):
-        results.append(dec.decode_one(
-            np.ascontiguousarray(lp[offsets[u]:offsets[u + 1]])))
+        # bucket by length so each distinct padded shape compiles once,
+        # not one XLA compile per distinct utterance length
+        results = decode_corpus(dec, lp, offsets)
 
     # ---- 48->39 mapping + scoring (evaluateModelForTest.py:128-133) ---
     pm = None

@@ -177,23 +177,26 @@ def train_network(
         best_val = None
         best_params = None
         stopped_early = False
-        if resume_blob is not None and si < resume_stage:
-            continue  # whole stage already done; params come from snapshot
-        for epoch in range(stage.epoch):
-            if resume_blob is not None and (
-                    si < resume_stage
-                    or (si == resume_stage and epoch < resume_epoch)):
-                continue
-            if resume_blob is not None and si == resume_stage \
-                    and epoch == resume_epoch:
-                # restore params/opt state at the resume point
-                from .checkpoint import load_pytree
-                params = load_pytree(_snapshot_file(config.snapshot_path),
-                                     params)
+        start_epoch = 0
+        if resume_blob is not None:
+            if si < resume_stage:
+                continue  # whole stage already done; params restored below
+            # first not-fully-skipped stage: restore params always; the
+            # optimizer state only when resuming mid-stage (a stage
+            # boundary rebuilds the optimizer anyway). Note: snapshots
+            # hold epoch-end params, so the best-validation stage-end
+            # selection only covers epochs run after the resume point.
+            from .checkpoint import load_pytree
+            params = load_pytree(_snapshot_file(config.snapshot_path), params)
+            if resume_epoch < stage.epoch:
                 opt_state = _restore_opt_state(resume_blob, opt_state)
                 bv = float(resume_blob["__best_val__"])
                 best_val = bv if np.isfinite(bv) else None
-                resume_blob = None
+                start_epoch = resume_epoch
+            else:
+                start_epoch = stage.epoch   # stage fully done pre-crash
+            resume_blob = None
+        for epoch in range(start_epoch, stage.epoch):
             t0 = time.time()
             key, ek = jax.random.split(key)
             if recurrent:

@@ -73,16 +73,24 @@ def _sample_utterance(img: HmmImage, rng, dim, pdf_means, noise,
 
 
 def _find_triphone(img: HmmImage, left: int, center: int, right: int) -> int:
-    """Triphone index for context (left-center+right), assuming the
-    dense (a,b,c) enumeration of the graph builder; falls back to any
-    triphone whose in/out biphones match."""
+    """Triphone index for context (left-center+right).
+
+    Dense cubes come in two enumerations — the graph builder is
+    center-major (idx = b*P^2 + a*P + c) while the synthetic builder is
+    left-major (idx = a*P^2 + b*P + c) — so the candidate index is
+    validated against the stored biphones; mismatches (or partial
+    images) fall back to a search.
+    """
     P = img.num_phones
+    a, b, c = left - 1, center - 1, right - 1
+    bi_in = a * P + b
+    bi_out = b * P + c
     if img.num_triphones == P ** 3:
-        # builder order: b-major, then a, then c (build_image loops b,a,c)
-        b, a, c = center - 1, left - 1, right - 1
-        return b * P * P + a * P + c
-    bi_in = (left - 1) * P + (center - 1)
-    bi_out = (center - 1) * P + (right - 1)
+        for idx in (b * P * P + a * P + c,     # builder 'bac' order
+                    a * P * P + b * P + c):    # synthetic 'abc' order
+            if (img.biphone_in[idx] == bi_in
+                    and img.biphone_out[idx] == bi_out):
+                return idx
     cand = np.nonzero((img.biphone_in == bi_in) & (img.biphone_out == bi_out))[0]
     if len(cand) == 0:
         cand = np.nonzero(img.biphone_in == bi_in)[0]

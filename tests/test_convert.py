@@ -120,18 +120,25 @@ def test_gru_conversion(rng):
     xs = rng.standard_normal((B, T, in_dim)).astype(np.float32)
     got, _ = net.apply_sequence(params, jnp.asarray(xs))
 
-    # chainer StatefulGRU oracle: h' = z*h + (1-z)*h_bar,
-    # h_bar = tanh(W x + U (r*h)); every link has a bias
+    # chainer StatefulGRU oracle (gru.py semantics, which the
+    # reference's MGRU copies): h' = z*h_bar + (1-z)*h with
+    # h_bar = tanh(W x + U (r*h)); every link has a bias, and the FIRST
+    # step skips the U links entirely (h is None)
     def L(n, v):
         return v @ src[f"{p}/{n}/W"].T + src[f"{p}/{n}/b"]
-    h = np.zeros((B, units), np.float32)
+    h = None
     outs = []
     for t in range(T):
         x = xs[:, t]
-        r = _sigmoid(L("W_r", x) + L("U_r", h))
-        z = _sigmoid(L("W_z", x) + L("U_z", h))
-        h_bar = np.tanh(L("W", x) + L("U", r * h))
-        h = z * h + (1 - z) * h_bar
+        if h is None:
+            z = _sigmoid(L("W_z", x))
+            h_bar = np.tanh(L("W", x))
+            h = z * h_bar
+        else:
+            r = _sigmoid(L("W_r", x) + L("U_r", h))
+            z = _sigmoid(L("W_z", x) + L("U_z", h))
+            h_bar = np.tanh(L("W", x) + L("U", r * h))
+            h = z * h_bar + (1 - z) * h
         outs.append(h)
     ref = np.stack(outs, axis=1) @ out["W"].T + out["b"]
     np.testing.assert_allclose(np.asarray(got), ref, atol=1e-4)
@@ -160,20 +167,26 @@ def test_mgru_conversion(rng, use_reset):
     xs = rng.standard_normal((B, T, in_dim)).astype(np.float32)
     got, _ = net.apply_sequence(params, jnp.asarray(xs))
 
-    # MGRU.py:67-85 oracle: h' = z*h_bar + (1-z)*h, relu activation
+    # MGRU.py:67-85 oracle: h' = z*h_bar + (1-z)*h, relu activation;
+    # the first step (h is None) skips the U links entirely
     def L(n, v):
         return v @ src[f"{p}/{n}/W"].T + src[f"{p}/{n}/b"]
-    h = np.zeros((B, units), np.float32)
+    h = None
     outs = []
     for t in range(T):
         x = xs[:, t]
-        z = _sigmoid(L("W_z", x) + L("U_z", h))
-        if use_reset:
-            r = _sigmoid(L("W_r", x) + L("U_r", h))
-            h_bar = np.maximum(L("W", x) + L("U", r * h), 0)
+        if h is None:
+            z = _sigmoid(L("W_z", x))
+            h_bar = np.maximum(L("W", x), 0)
+            h = z * h_bar
         else:
-            h_bar = np.maximum(L("W", x) + L("U", h), 0)
-        h = z * h_bar + (1 - z) * h
+            z = _sigmoid(L("W_z", x) + L("U_z", h))
+            if use_reset:
+                r = _sigmoid(L("W_r", x) + L("U_r", h))
+                h_bar = np.maximum(L("W", x) + L("U", r * h), 0)
+            else:
+                h_bar = np.maximum(L("W", x) + L("U", h), 0)
+            h = z * h_bar + (1 - z) * h
         outs.append(h)
     ref = np.stack(outs, axis=1) @ out["W"].T + out["b"]
     np.testing.assert_allclose(np.asarray(got), ref, atol=1e-4)

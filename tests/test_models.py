@@ -146,18 +146,20 @@ def test_mgru_first_step_semantics(rng):
     h_bar = jax.nn.relu(x @ cp["w"] + cp["b"])
     expected = z * h_bar
     state, _ = net.step(params, net.init_state(2), x)
-    np.testing.assert_allclose(np.asarray(state[0]), np.asarray(expected), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(state[0][0]), np.asarray(expected),
+                               atol=1e-6)
 
 
 def test_gru_interpolation_direction(rng):
-    """Chainer GRU: h' = z*h + (1-z)*h_bar (z is the keep-old gate).
-    With an extreme positive z bias the state must stay ~0 from h0=0."""
+    """Chainer GRU: h' = z*h_bar + (1-z)*h (z gates the CANDIDATE; the
+    reference's MGRU shares this convention, MGRU.py:81). With an
+    extreme negative z bias (z ~ 0) the state must stay ~0 from h0=0."""
     net = GRU(units=5, num_classes=C, layers=1, dropout=0.0)
     params = net.init(KEY, 3)
-    params["cells"][0]["bx"] = params["cells"][0]["bx"].at[5:10].set(50.0)  # z ~ 1
+    params["cells"][0]["bx"] = params["cells"][0]["bx"].at[5:10].set(-50.0)  # z ~ 0
     xs = jnp.asarray(rng.standard_normal((1, 4, 3)), jnp.float32)
     _, state = net.apply_sequence(params, xs)
-    np.testing.assert_allclose(np.asarray(state[0]), 0.0, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(state[0][0]), 0.0, atol=1e-6)
 
 
 def test_rpl4_zero_init_is_floored_log_softmax(rng):

@@ -204,3 +204,33 @@ def test_snapshot_resume(tmp_path, syn):
                          x_dev=corpus.dev.data, y_dev=corpus.dev.targets)
     assert len(res3.history) == 2  # epochs 2 and 3 re-run
     assert all(np.isfinite(h["main/loss"]) for h in res3.history)
+
+
+def test_snapshot_resume_at_stage_boundary(tmp_path, syn):
+    """Crash exactly at a stage boundary: resume must restore the
+    completed stage's params (not retrain stage 1 from random init —
+    regression for a silent-restart bug)."""
+    _, corpus = syn
+    net = get_network("ff", 1, [16], 16)
+    snap = str(tmp_path / "snap.npz")
+    stage0 = TrainStage(epoch=2, optimizer="adam", batch_size=64,
+                        lr=1e-3, early_stopping=False)
+    stage1 = TrainStage(epoch=2, optimizer="momentumsgd", batch_size=64,
+                        lr=1e-2, early_stopping=False)
+    # run only stage 0 with snapshots (simulates dying at the boundary)
+    cfg0 = TrainConfig(stages=[stage0], seed=0, log=None, snapshot_path=snap)
+    res0 = train_network(net, corpus.train.data, corpus.train.targets, cfg0,
+                         x_dev=corpus.dev.data, y_dev=corpus.dev.targets)
+    trained_leaf = np.asarray(jax.tree_util.tree_leaves(res0.params)[0])
+
+    cfg = TrainConfig(stages=[stage0, stage1], seed=0, log=None,
+                      snapshot_path=snap, resume_snapshot=True)
+    res = train_network(net, corpus.train.data, corpus.train.targets, cfg,
+                        x_dev=corpus.dev.data, y_dev=corpus.dev.targets)
+    # only stage 1 epochs ran
+    assert [h["stage"] for h in res.history] == [1, 1]
+    # stage 1 must have continued from the trained params: its first
+    # training loss should be comparable to stage 0's last, not the
+    # from-scratch initial loss
+    assert res.history[0]["main/loss"] < res0.history[0]["main/loss"] * 0.7
+    assert np.isfinite(trained_leaf).all()
