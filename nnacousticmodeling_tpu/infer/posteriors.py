@@ -93,7 +93,12 @@ def rnn_log_posteriors(
 
     With ``timedelay`` k the input of each utterance is edge-padded k
     frames on the right and the first k output frames are dropped,
-    matching predict() (predict_folds.py:39,60-61).
+    matching predict() (predict_folds.py:39,60-61) — including its
+    quirk that the LAST k output rows of each utterance stay 0.0 (the
+    shrinking-batch loop never writes them: the store condition
+    ``utt_len > t`` fails for t >= l, predict_folds.py:49-61). The
+    zeros feed RPL training and fold averaging in the reference, so
+    they are reproduced for parity.
     """
     lengths = np.diff(offsets)
     num_utts = len(lengths)
@@ -124,7 +129,10 @@ def rnn_log_posteriors(
                 xs[row, :frames.shape[0]] = frames
             y = np.asarray(forward(params, jnp.asarray(xs), b))
             for row, u in enumerate(ids):
-                out[u] = y[row, timedelay:timedelay + lengths[u]]
+                o = y[row, timedelay:timedelay + lengths[u]].copy()
+                if timedelay > 0:
+                    o[max(lengths[u] - timedelay, 0):] = 0.0
+                out[u] = o
     return np.concatenate(out, axis=0)
 
 

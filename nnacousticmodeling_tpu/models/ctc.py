@@ -23,6 +23,16 @@ from .networks import _RecurrentStack
 BLANK_ID = 0
 
 
+def _reverse_within_length(x, lengths):
+    """Reverse (B, T, D) along T inside each row's length; padded
+    positions keep their index (their content is masked downstream)."""
+    b, t = x.shape[0], x.shape[1]
+    pos = jnp.arange(t)[None, :]
+    lengths = jnp.asarray(lengths)[:, None]
+    idx = jnp.where(pos < lengths, lengths - 1 - pos, pos)      # (B, T)
+    return jnp.take_along_axis(x, idx[:, :, None], axis=1)
+
+
 @dataclass(frozen=True)
 class BiRNNCTC:
     """Bidirectional recurrent CTC model.
@@ -47,16 +57,32 @@ class BiRNNCTC:
         out = cells.dense_params(ko, 2 * self.base.units, self.num_classes)
         return {"fwd": fwd, "bwd": bwd, "out": out}
 
-    def apply_sequence(self, params, xs, rng=None, train=False):
-        """(B, T, D) -> (B, T, num_phones+1) logits."""
+    def apply_sequence(self, params, xs, lengths=None, rng=None,
+                       train=False):
+        """(B, T, D) -> (B, T, num_phones+1) logits.
+
+        ``lengths`` (B,) makes the backward pass reverse each sequence
+        WITHIN its own length, so shorter utterances in a padded batch
+        do not feed trailing padding into the backward state — logits
+        on valid frames are then identical regardless of batch padding.
+        Without lengths the whole padded axis reverses (only correct
+        for unpadded batches).
+        """
         kf = kb = None
         if rng is not None:
             kf, kb = jax.random.split(rng)
         h_fwd, _ = self.base.hidden_sequence(params["fwd"], xs, rng=kf,
                                              train=train)
-        h_bwd, _ = self.base.hidden_sequence(params["bwd"], xs[:, ::-1],
+        if lengths is None:
+            bwd_in = xs[:, ::-1]
+        else:
+            bwd_in = _reverse_within_length(xs, lengths)
+        h_bwd, _ = self.base.hidden_sequence(params["bwd"], bwd_in,
                                              rng=kb, train=train)
-        h_bwd = h_bwd[:, ::-1]
+        if lengths is None:
+            h_bwd = h_bwd[:, ::-1]
+        else:
+            h_bwd = _reverse_within_length(h_bwd, lengths)
         h = jnp.concatenate([h_fwd, h_bwd], axis=-1)
         b, t, _ = h.shape
         logits = cells.dense(params["out"], h.reshape(b * t, -1))
@@ -96,7 +122,8 @@ def make_ctc_train_step(model: BiRNNCTC, opt):
     @jax.jit
     def step(params, opt_state, xs, x_lens, labels, y_lens, rng):
         def loss_fn(p):
-            logits = model.apply_sequence(p, xs, rng=rng, train=True)
+            logits = model.apply_sequence(p, xs, lengths=x_lens, rng=rng,
+                                          train=True)
             return ctc_loss(logits, x_lens, labels, y_lens)
 
         loss, grads = jax.value_and_grad(loss_fn)(params)

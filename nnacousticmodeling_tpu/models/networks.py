@@ -414,15 +414,21 @@ def get_network(network: str, layers: int, units: Sequence[int],
         return LSTM(units=units[0], num_classes=num_classes, layers=layers,
                     dropout=dropout[0])
     if network == "zoneoutlstm":
-        ratios = dropout if len(dropout) == 2 else [0.5, 0.5]
+        # reference: ZoneoutLSTM(units, classes, layers, *dropout) —
+        # dropout values map positionally onto (c_ratio, h_ratio) with
+        # 0.5 defaults (chainer_networks.py:65,171)
+        c = dropout[0] if len(dropout) >= 1 else 0.5
+        h = dropout[1] if len(dropout) >= 2 else 0.5
         return ZoneoutLSTM(units=units[0], num_classes=num_classes,
-                           layers=layers, c_ratio=ratios[0], h_ratio=ratios[1])
+                           layers=layers, c_ratio=c, h_ratio=h)
     if network == "zoneoutdropoutlstm":
-        d = dropout[0]
-        ratios = dropout[1:3] if len(dropout) >= 3 else [0.5, 0.5]
+        # reference: (..., layers, *dropout) -> (dropout, c_ratio, h_ratio)
+        d = dropout[0] if len(dropout) >= 1 else 0.0
+        c = dropout[1] if len(dropout) >= 2 else 0.5
+        h = dropout[2] if len(dropout) >= 3 else 0.5
         return ZoneoutDropoutLSTM(units=units[0], num_classes=num_classes,
                                   layers=layers, dropout=d,
-                                  c_ratio=ratios[0], h_ratio=ratios[1])
+                                  c_ratio=c, h_ratio=h)
     if network == "peepholelstm":
         return PeepholeLSTM(units=units[0], num_classes=num_classes,
                             layers=layers, dropout=dropout[0])

@@ -97,8 +97,11 @@ def prepare_features(x: np.ndarray, args, splice: int,
                      ft: Optional[FeatureTransform],
                      ivectors: Optional[np.ndarray]) -> np.ndarray:
     """splice -> feature transform -> i-vector concat
-    (train.py:224-258)."""
-    if splice > 0 and not is_recurrent(args.network):
+    (train.py:224-258). Splicing applies regardless of network type,
+    exactly like the reference (recurrent nets are normally run with
+    --splice 0; combining --splice with a center-specialized transform
+    fails on shape mismatch in the reference too)."""
+    if splice > 0:
         x = splice_flat(x, range(-splice, splice + 1))
     if ft is not None:
         x = apply_feature_transform(x, ft).astype(np.float32)

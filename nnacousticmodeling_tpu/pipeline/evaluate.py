@@ -21,7 +21,7 @@ from ..decoder import ViterbiDecoder, compute_per
 from ..decoder.corpus_decode import decode_corpus
 from ..decoder.image import load_image
 from ..infer import ensemble_log_posteriors
-from ..io import load_mlf, load_phone_map, write_mlf
+from ..io import load_mlf, load_phone_map, load_utt_list, write_mlf
 from ..io.mlf import MlfEntry
 from ..models import Ensemble, RPL4, is_recurrent, stack_fold_params
 from ..train import load_pytree
@@ -44,7 +44,9 @@ def build_parser():
     parser.add_argument("--PIP", type=float, default=20)
     parser.add_argument("--LMW", type=float, default=1)
     parser.add_argument("--ap-coef", type=float, default=1)
-    parser.add_argument("--ap-file", default="log_ap_Kaldi1909.npy")
+    parser.add_argument("--ap-file", default="log_ap_Kaldi1909.npy",
+                        help="log-priors npy in recog-dir ('-' disables "
+                             "prior subtraction)")
     parser.add_argument("--phone-map", default="phones.60-48-39.map",
                         help="48->39 map in recog-dir ('-' = identity)")
     parser.add_argument("--test-or-dev", default="test")
@@ -121,8 +123,7 @@ def main(arg_list=None):
     ft = load_transform(args, splice)
     x = prepare_features(x, args, splice, ft, iv)
 
-    utt_list = [l.strip() for l in
-                open(Path(args.utt_list_dir, f"{split}.list")) if l.strip()]
+    utt_list = load_utt_list(str(Path(args.utt_list_dir, f"{split}.list")))
     if len(utt_list) != len(offsets) - 1:
         raise ValueError("wrong number of utterances")
 
@@ -130,8 +131,13 @@ def main(arg_list=None):
 
     # ---- posteriors with prior subtraction (evaluateModelForTest.py:75-77)
     ap = None
-    ap_file = Path(args.recog_dir, args.ap_file)
-    if ap_file.is_file():
+    if args.ap_file != "-":
+        ap_file = Path(args.recog_dir, args.ap_file)
+        if not ap_file.is_file():
+            raise FileNotFoundError(
+                f"log-priors file {ap_file} not found (the reference "
+                f"requires it under --tri); pass --ap-file - to decode "
+                f"without prior subtraction")
         ap = args.ap_coef * np.load(str(ap_file))
     lp = ensemble_log_posteriors(ens, params, x,
                                  offsets=offsets if net.is_recurrent else None,

@@ -137,6 +137,10 @@ def train_network(
 
     recurrent = getattr(net, "is_recurrent", False) and apply_fn is None
     history: List[dict] = []
+    # evaluation functions are stage-invariant (FF) or depend only on
+    # the stage batch size (RNN stream layout); cache them so XLA does
+    # not recompile the eval graph at every stage
+    eval_cache: dict = {}
 
     # resume bookkeeping: skip (stage, epoch) pairs already completed
     resume_stage = resume_epoch = -1
@@ -167,11 +171,11 @@ def train_network(
         if recurrent:
             run_epoch, evaluate, state = _make_rnn_stage(
                 net, opt, xd, yd, offsets, config, bs,
-                (xvd, yvd) if use_val else None)
+                (xvd, yvd) if use_val else None, eval_cache)
         else:
             run_epoch, evaluate = _make_ff_stage(
                 net, opt, xd, yd, config, bs,
-                (xvd, yvd) if use_val else None, apply_fn)
+                (xvd, yvd) if use_val else None, apply_fn, eval_cache)
             state = None
 
         best_val = None
@@ -253,7 +257,8 @@ def train_network(
 # feed-forward stage
 # ---------------------------------------------------------------------------
 
-def _make_ff_stage(net, opt, xd, yd, config, bs, val, apply_fn):
+def _make_ff_stage(net, opt, xd, yd, config, bs, val, apply_fn,
+                   eval_cache=None):
     apply = apply_fn or (lambda p, xb, rng, train: net.apply(
         p, xb, rng=rng, train=train))
 
@@ -290,6 +295,8 @@ def _make_ff_stage(net, opt, xd, yd, config, bs, val, apply_fn):
 
     if val is None:
         return run_epoch, None
+    if eval_cache is not None and "ff" in eval_cache:
+        return run_epoch, eval_cache["ff"]
     xv, yv = val
 
     @jax.jit
@@ -318,6 +325,8 @@ def _make_ff_stage(net, opt, xd, yd, config, bs, val, apply_fn):
             tot_c += float(c)
         return tot_l / nv, tot_c / nv
 
+    if eval_cache is not None:
+        eval_cache["ff"] = evaluate
     return run_epoch, evaluate
 
 
@@ -325,7 +334,8 @@ def _make_ff_stage(net, opt, xd, yd, config, bs, val, apply_fn):
 # recurrent (multi-stream TBPTT) stage
 # ---------------------------------------------------------------------------
 
-def _make_rnn_stage(net, opt, xd, yd, offsets, config, bs, val):
+def _make_rnn_stage(net, opt, xd, yd, offsets, config, bs, val,
+                    eval_cache=None):
     L = config.bprop_len
     n = int(xd.shape[0])
 
@@ -369,6 +379,8 @@ def _make_rnn_stage(net, opt, xd, yd, offsets, config, bs, val):
 
     if val is None:
         return run_epoch, None, state0
+    if eval_cache is not None and ("rnn", bs) in eval_cache:
+        return run_epoch, eval_cache[("rnn", bs)], state0
     xv, yv = val
     nv = int(xv.shape[0])
     vsteps = max(nv // bs, 1)
@@ -393,4 +405,6 @@ def _make_rnn_stage(net, opt, xd, yd, offsets, config, bs, val):
         l, a = eval_fn(params)
         return float(l), float(a)
 
+    if eval_cache is not None:
+        eval_cache[("rnn", bs)] = evaluate
     return run_epoch, evaluate, state0

@@ -145,7 +145,8 @@ def train_folds_parallel(
         n_steps = min(len(u[0]) for u in universes) // (bs * L)
         n_steps = max(n_steps, 1)
         active = np.ones(num_folds, dtype=bool)
-        best_vals = [None] * num_folds
+        best_vals = np.full(num_folds, np.inf)
+        best_params = None   # per-fold best snapshots (fixed-epoch rule)
 
         for epoch in range(stage.epoch):
             t0 = time.time()
@@ -172,23 +173,38 @@ def train_folds_parallel(
             msg = (f"  stage={si} epoch={epoch + 1} "
                    f"loss={np.array2string(mean_loss, precision=3)} "
                    f"({time.time() - t0:.1f}s)")
-            if use_val and stage.early_stopping:
+            if use_val:
                 vals = np.asarray(evaluate(params))
                 msg += f" val={np.array2string(vals, precision=3)}"
-                for k in range(num_folds):
-                    if not active[k]:
-                        continue
-                    v = float(vals[k])
-                    if best_vals[k] is None:
-                        best_vals[k] = v
-                    else:
-                        if best_vals[k] - v < -0.001:
+                if stage.early_stopping:
+                    for k in range(num_folds):
+                        if not active[k]:
+                            continue
+                        v = float(vals[k])
+                        if np.isfinite(best_vals[k]) \
+                                and best_vals[k] - v < -0.001:
                             active[k] = False
-                        if v < best_vals[k]:
-                            best_vals[k] = v
+                        best_vals[k] = min(best_vals[k], v)
+                else:
+                    # fixed-epoch stages keep each fold's best-val model
+                    # (the sequential path's BestModelSaver rule)
+                    improved = vals < best_vals
+                    best_vals = np.minimum(best_vals, vals)
+                    mask = jnp.asarray(improved)
+                    if best_params is None:
+                        best_params = jax.tree_util.tree_map(jnp.copy, params)
+                    else:
+                        def pick(bp, p):
+                            m = mask.reshape((num_folds,) + (1,) * (p.ndim - 1))
+                            return jnp.where(m, p, bp)
+                        best_params = jax.tree_util.tree_map(
+                            pick, best_params, params)
             log(msg)
             if not active.any():
                 break
+
+        if not stage.early_stopping and best_params is not None:
+            params = best_params
 
     return [jax.tree_util.tree_map(lambda l: l[k], params)
             for k in range(num_folds)]

@@ -82,7 +82,8 @@ def test_ctc_learns_synthetic():
     xs_t = np.zeros((ct.num_utts, t_tmax, ct.dim), np.float32)
     for u in range(ct.num_utts):
         xs_t[u, :ct.utt_lengths[u]] = ct.utt(u)
-    logits = model.apply_sequence(params, jnp.asarray(xs_t))
+    logits = model.apply_sequence(params, jnp.asarray(xs_t),
+                                  lengths=jnp.asarray(ct.utt_lengths))
     hyps = greedy_decode(logits, ct.utt_lengths)
     refs = labels_of(t_entries)
     errs = tot = 0
@@ -93,3 +94,20 @@ def test_ctc_learns_synthetic():
         tot += n
     per = 100.0 * errs / tot
     assert per < 20.0, f"CTC PER too high: {per}"
+
+
+def test_ctc_padding_invariance(rng):
+    """Logits on valid frames must not depend on how much the batch is
+    padded (regression: the backward pass used to consume padding)."""
+    model = BiRNNCTC(base=GRU(units=12, num_classes=1, layers=1),
+                     num_phones=4)
+    params = model.init(jax.random.PRNGKey(0), 6)
+    x = rng.standard_normal((1, 20, 6)).astype(np.float32)
+    alone = model.apply_sequence(params, jnp.asarray(x),
+                                 lengths=jnp.asarray([20]))
+    padded = np.zeros((1, 50, 6), np.float32)
+    padded[:, :20] = x
+    in_batch = model.apply_sequence(params, jnp.asarray(padded),
+                                    lengths=jnp.asarray([20]))
+    np.testing.assert_allclose(np.asarray(alone[0, :20]),
+                               np.asarray(in_batch[0, :20]), atol=1e-5)

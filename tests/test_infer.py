@@ -84,7 +84,10 @@ def test_rnn_posteriors_timedelay(syn):
     padded = np.pad(u0, ((0, 3), (0, 0)), "edge")
     y, _ = net.apply_sequence(params, padded[None])
     direct = np.asarray(log_softmax(y[0], axis=-1))[3:3 + len(u0)]
-    np.testing.assert_allclose(got[:len(u0)], direct, atol=1e-4)
+    np.testing.assert_allclose(got[:len(u0) - 3], direct[:-3], atol=1e-4)
+    # reference quirk: the last k rows per utterance stay zero
+    # (predict_folds.py:49-61 never writes them)
+    np.testing.assert_array_equal(got[len(u0) - 3:len(u0)], 0.0)
 
 
 def test_ensemble_posteriors(syn):
