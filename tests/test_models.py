@@ -218,3 +218,41 @@ def test_tdnn_window_math():
 def test_factory_rejects_unknown():
     with pytest.raises(ValueError):
         get_network("transformer", 2, [8], C)
+
+
+def test_bf16_inference_close_to_f32(rng):
+    """HalfPrecisionNet: bf16 compute stays within bf16-scale error of
+    the f32 path for FF and recurrent nets."""
+    from nnacousticmodeling_tpu.models.precision import HalfPrecisionNet
+
+    ff = MLP(units=64, num_classes=C, layers=2)
+    p = ff.init(KEY, 10)
+    x = jnp.asarray(rng.standard_normal((20, 10)), jnp.float32)
+    half = HalfPrecisionNet(ff)
+    y32 = np.asarray(ff.apply(p, x))
+    y16 = np.asarray(half.apply(half.cast(p), x))
+    assert y16.dtype == np.float32
+    denom = np.maximum(np.abs(y32), 1.0)
+    assert (np.abs(y32 - y16) / denom).max() < 0.1
+
+    lstm = LSTM(units=32, num_classes=C, layers=2)
+    pl = lstm.init(KEY, 10)
+    xs = jnp.asarray(rng.standard_normal((2, 15, 10)), jnp.float32)
+    halfr = HalfPrecisionNet(lstm)
+    y32, _ = lstm.apply_sequence(pl, xs)
+    y16, _ = halfr.apply_sequence(halfr.cast(pl), xs)
+    denom = np.maximum(np.abs(np.asarray(y32)), 1.0)
+    assert (np.abs(np.asarray(y32) - np.asarray(y16)) / denom).max() < 0.15
+
+
+def test_bf16_composes_with_inference_helpers(rng):
+    from nnacousticmodeling_tpu.models.precision import HalfPrecisionNet
+    from nnacousticmodeling_tpu.infer import ff_log_posteriors
+
+    ff = MLP(units=32, num_classes=C, layers=1)
+    p = ff.init(KEY, 8)
+    half = HalfPrecisionNet(ff)
+    x = rng.standard_normal((50, 8)).astype(np.float32)
+    lp = ff_log_posteriors(half, half.cast(p), x, chunk=32)
+    assert lp.shape == (50, C) and lp.dtype == np.float32
+    np.testing.assert_allclose(np.exp(lp).sum(1), 1.0, atol=1e-2)
