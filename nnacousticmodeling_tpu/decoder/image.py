@@ -168,6 +168,7 @@ def make_synthetic_image(
     seed: int = 0,
     full_context: bool = True,
     tied: bool = True,
+    pdf_tied_transitions: bool = False,
 ) -> HmmImage:
     """Random but structurally consistent image for tests.
 
@@ -199,7 +200,14 @@ def make_synthetic_image(
             raise ValueError("untied image needs num_states >= 3*num_phones")
         state_idxs = np.array([[3 * b, 3 * b + 1, 3 * b + 2] for a, b, c in tris],
                               dtype=np.int32)
-    self_p = rng.uniform(0.3, 0.8, size=(T3, 3))
+    if pdf_tied_transitions:
+        # Kaldi ties transition params to the pdf (one transition-state
+        # per (phone, hmm-state, pdf)); the Pallas cube kernel relies on
+        # this, so tests use it to model the real images
+        per_pdf = rng.uniform(0.3, 0.8, size=num_states)
+        self_p = per_pdf[state_idxs]
+    else:
+        self_p = rng.uniform(0.3, 0.8, size=(T3, 3))
     tp_selfloop = np.log(self_p).astype(np.float32)
     tp_transition = np.log(1.0 - self_p).astype(np.float32)
     out_offsets, out_values = _csr_from_biphone_out(biphone_out, B)

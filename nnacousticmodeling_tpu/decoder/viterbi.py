@@ -55,9 +55,17 @@ class DecodeResult:
 
 
 class ViterbiDecoder:
-    """Decodes log-posterior matrices into phone segmentations."""
+    """Decodes log-posterior matrices into phone segmentations.
 
-    def __init__(self, image: HmmImage, pip: float = 20.0, lmw: float = 1.0):
+    ``backend``: "auto" picks the Pallas VMEM-resident kernel
+    (``viterbi_pallas.py``) for dense cube images when running on TPU
+    and the XLA scan path otherwise; "pallas" forces the kernel
+    (interpreted off-TPU, for tests); "xla" forces the scan path.  The
+    ``NNAM_VITERBI_BACKEND`` env var overrides "auto".
+    """
+
+    def __init__(self, image: HmmImage, pip: float = 20.0, lmw: float = 1.0,
+                 backend: str = "auto"):
         self.image = image
         # the CLI contract passes -|PIP| to the recognizer
         # (evaluateModelForTest.py:124); Init then adds it on phone entry.
@@ -91,6 +99,25 @@ class ViterbiDecoder:
             self._build_cube_obs_tables()
         self._decode_jit = jax.jit(jax.vmap(self._decode_device),
                                    static_argnums=())
+
+        import os
+        if backend == "auto":
+            backend = os.environ.get("NNAM_VITERBI_BACKEND", "auto")
+        self.backend = "xla"
+        self._pallas_fwd = None
+        if backend != "xla" and self._cube_order is not None:
+            on_tpu = jax.default_backend() == "tpu"
+            if backend == "pallas" or (backend == "auto" and on_tpu):
+                from .viterbi_pallas import PallasCubeViterbi, UnsupportedImage
+                try:
+                    self._pallas_fwd = PallasCubeViterbi(
+                        image, self._cube_order, pip=self.pip, lmw=lmw,
+                        interpret=not on_tpu)
+                    self.backend = "pallas"
+                except UnsupportedImage:
+                    if backend == "pallas":
+                        raise
+        self._backtrace_jit = jax.jit(jax.vmap(self._device_backtrace))
 
     def _build_cube_obs_tables(self):
         """Tied-pdf observation tables for the cube fast path.
@@ -356,10 +383,16 @@ class ViterbiDecoder:
             raise ValueError(
                 f"utterance of {log_probs.shape[0]} frames exceeds the "
                 f"packed-backpointer limit {TIME_PACK - 1}; split it")
-        segs, count = self._decode_jit(
+        segs, count = self._decode_arrays(
             jnp.asarray(log_probs)[None],
             jnp.asarray([log_probs.shape[0]], dtype=jnp.int32))
         return self._to_results(np.asarray(segs), np.asarray(count))[0]
+
+    def _decode_arrays(self, lp, lengths):
+        if self._pallas_fwd is not None:
+            packed, end_scores = self._pallas_fwd.forward(lp)
+            return self._backtrace_jit(packed, end_scores, lengths)
+        return self._decode_jit(lp, lengths)
 
     def decode_batch(self, log_probs, lengths: Sequence[int]
                      ) -> List[DecodeResult]:
@@ -376,7 +409,7 @@ class ViterbiDecoder:
             raise ValueError(
                 f"padded length {log_probs.shape[1]} exceeds the packed-"
                 f"backpointer limit {TIME_PACK - 1}; split utterances")
-        segs, counts = self._decode_jit(
+        segs, counts = self._decode_arrays(
             jnp.asarray(log_probs),
             jnp.asarray(lengths, dtype=jnp.int32))
         return self._to_results(np.asarray(segs), np.asarray(counts))
