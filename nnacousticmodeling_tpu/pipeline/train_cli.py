@@ -33,6 +33,10 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--early-stopping", type=str2bool, nargs="+",
                         default=[True])
     parser.add_argument("--bproplen", type=int, default=20)
+    parser.add_argument("--dtype", choices=["float32", "bfloat16"],
+                        default="float32",
+                        help="compute dtype for forward/backward; master "
+                             "params and optimizer state stay float32")
     parser.add_argument("--out", default="result")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--no-validation", dest="use_validation",
@@ -178,7 +182,8 @@ def main(arg_list=None):
                          use_validation=args.use_validation and x_dev is not None,
                          log=print,
                          snapshot_path=str(Path(args.out) / "snapshot.npz"),
-                         resume_snapshot=bool(args.resume))
+                         resume_snapshot=bool(args.resume),
+                         compute_dtype=args.dtype)
 
     if args.train_rpl:
         rpl = RPL4(num_classes)

@@ -55,6 +55,11 @@ class TrainConfig:
     # extensions.snapshot + --resume, train.py:340-342,371-373)
     snapshot_path: Optional[str] = None
     resume_snapshot: bool = False
+    # mixed precision: "bfloat16" computes forward/backward in bf16 on
+    # the MXU while master params, gradients-at-rest, optimizer state,
+    # and the loss stay float32 (the parity default is pure f32; the
+    # reference is f32-only — Chainer 3.5 + CuPy, README.md:90-95)
+    compute_dtype: str = "float32"
 
 
 @dataclass
@@ -94,6 +99,30 @@ def _restore_opt_state(blob, template_opt_state):
             raise ValueError(f"snapshot opt leaf {i} shape mismatch")
         restored.append(arr.astype(np.asarray(leaf).dtype))
     return jax.tree_util.tree_unflatten(treedef, restored)
+
+
+def _compute_dtype(config):
+    dt = jnp.dtype(config.compute_dtype)
+    if dt not in (jnp.dtype(jnp.float32), jnp.dtype(jnp.bfloat16)):
+        raise ValueError(f"unsupported compute dtype {config.compute_dtype}")
+    return None if dt == jnp.dtype(jnp.float32) else jnp.bfloat16
+
+
+def _mixed_apply(dt, apply):
+    """Wrap an apply fn for bf16 compute with f32 master params.
+
+    Params and inputs are cast to ``dt`` inside the differentiated
+    function, so autodiff emits bf16 matmuls but the cotangents cast
+    back to f32 at the leaves (standard mixed-precision recipe: f32
+    master weights + optimizer state, bf16 MXU compute)."""
+    if dt is None:
+        return apply
+    from ..models.precision import cast_params
+
+    def wrapped(p, xb, rng, train):
+        logits = apply(cast_params(p, dt), xb.astype(dt), rng, train)
+        return logits.astype(jnp.float32)
+    return wrapped
 
 
 def _loss_acc(logits, targets):
@@ -261,6 +290,7 @@ def _make_ff_stage(net, opt, xd, yd, config, bs, val, apply_fn,
                    eval_cache=None):
     apply = apply_fn or (lambda p, xb, rng, train: net.apply(
         p, xb, rng=rng, train=train))
+    apply = _mixed_apply(_compute_dtype(config), apply)
 
     @jax.jit
     def update(params, opt_state, idx, rng, xd, yd):
@@ -338,6 +368,23 @@ def _make_rnn_stage(net, opt, xd, yd, offsets, config, bs, val,
                     eval_cache=None):
     L = config.bprop_len
     n = int(xd.shape[0])
+    dt = _compute_dtype(config)
+    if dt is None:
+        seq_apply = net.apply_sequence
+        state_cast = lambda s: s
+    else:
+        from ..models.precision import cast_params
+
+        def seq_apply(p, xb, state, rng=None, train=False):
+            logits, new_state = net.apply_sequence(
+                cast_params(p, dt), xb.astype(dt), state, rng=rng,
+                train=train)
+            return logits.astype(jnp.float32), new_state
+
+        def state_cast(s):
+            return jax.tree_util.tree_map(
+                lambda a: a.astype(dt)
+                if jnp.issubdtype(a.dtype, jnp.floating) else a, s)
 
     @jax.jit
     def update(params, opt_state, state, idx, rng, xd, yd):
@@ -345,8 +392,8 @@ def _make_rnn_stage(net, opt, xd, yd, offsets, config, bs, val,
         yb = jnp.take(yd, idx.reshape(-1), axis=0).reshape(bs, L)
 
         def loss_fn(p):
-            logits, new_state = net.apply_sequence(p, xb, state, rng=rng,
-                                                   train=True)
+            logits, new_state = seq_apply(p, xb, state, rng=rng,
+                                          train=True)
             loss = optax.softmax_cross_entropy_with_integer_labels(logits, yb)
             # Chainer BPTTUpdater: sum over bprop steps of batch-mean loss
             total = loss.mean(axis=0).sum()
@@ -375,7 +422,7 @@ def _make_rnn_stage(net, opt, xd, yd, offsets, config, bs, val,
                 float(jnp.mean(jnp.stack(losses))),
                 float(jnp.mean(jnp.stack(accs))))
 
-    state0 = net.init_state(bs)
+    state0 = state_cast(net.init_state(bs))
 
     if val is None:
         return run_epoch, None, state0
@@ -395,7 +442,8 @@ def _make_rnn_stage(net, opt, xd, yd, offsets, config, bs, val,
 
     @jax.jit
     def eval_fn(params):
-        logits, _ = net.apply_sequence(params, xv_streams, None)
+        logits, _ = seq_apply(params, xv_streams,
+                              state_cast(net.init_state(bs)))
         loss = optax.softmax_cross_entropy_with_integer_labels(
             logits, yv_streams).mean()
         acc = (jnp.argmax(logits, -1) == yv_streams).astype(jnp.float32).mean()

@@ -146,3 +146,48 @@ def test_cube_order_detection():
     from nnacousticmodeling_tpu.decoder.graph import build_timit_image
     timit = build_timit_image()
     assert ViterbiDecoder(timit)._cube_order == "bac"
+
+
+# --- Pallas cube kernel (interpret mode off-TPU) ----------------------
+
+def _rand_posteriors(rng, utts, tmax, num_states):
+    lens = rng.integers(6, tmax + 1, size=utts)
+    lens[0] = tmax
+    lp = np.log(rng.dirichlet(np.ones(num_states),
+                              size=(utts, tmax)).astype(np.float32))
+    return lp.astype(np.float32), lens
+
+
+@pytest.mark.parametrize("order_seed", [0, 7])
+def test_pallas_cube_matches_xla_forward(order_seed):
+    rng = np.random.default_rng(order_seed)
+    img = make_synthetic_image(num_phones=4, num_states=14,
+                               seed=order_seed, pdf_tied_transitions=True)
+    xla = ViterbiDecoder(img, pip=5.0, lmw=1.5, backend="xla")
+    pal = ViterbiDecoder(img, pip=5.0, lmw=1.5, backend="pallas")
+    assert pal.backend == "pallas"
+    lp, lens = _rand_posteriors(rng, 3, 17, img.num_states)
+    import jax.numpy as jnp
+    got_packed, got_end = pal._pallas_fwd.forward(jnp.asarray(lp))
+    import jax
+    want_packed, want_end = jax.vmap(xla._forward_scan)(jnp.asarray(lp))
+    np.testing.assert_array_equal(np.asarray(got_packed),
+                                  np.asarray(want_packed))
+    np.testing.assert_array_equal(np.asarray(got_end), np.asarray(want_end))
+    # and the full decode agrees segment-for-segment
+    a = xla.decode_batch(lp, lens)
+    b = pal.decode_batch(lp, lens)
+    for ra, rb in zip(a, b):
+        assert ra.segments == rb.segments
+
+
+def test_pallas_rejects_untied_transitions():
+    from nnacousticmodeling_tpu.decoder.viterbi_pallas import (
+        PallasCubeViterbi, UnsupportedImage)
+    img = make_synthetic_image(num_phones=3, num_states=12, seed=2,
+                               pdf_tied_transitions=False)
+    with pytest.raises(UnsupportedImage):
+        PallasCubeViterbi(img, "abc", pip=-5.0, lmw=1.0, interpret=True)
+    # backend="auto" must silently fall back to the XLA path
+    dec = ViterbiDecoder(img, backend="auto")
+    assert dec.backend == "xla"

@@ -234,3 +234,47 @@ def test_snapshot_resume_at_stage_boundary(tmp_path, syn):
     # from-scratch initial loss
     assert res.history[0]["main/loss"] < res0.history[0]["main/loss"] * 0.7
     assert np.isfinite(trained_leaf).all()
+
+
+def test_ff_bf16_training_learns(syn):
+    _, corpus = syn
+    net = get_network("ff", 2, [32], 16)
+    cfg = TrainConfig(
+        stages=[TrainStage(epoch=5, optimizer="adam", batch_size=128,
+                           lr=1e-3, early_stopping=False)],
+        seed=0, log=None, compute_dtype="bfloat16")
+    res = train_network(net, corpus.train.data, corpus.train.targets, cfg,
+                        x_dev=corpus.dev.data, y_dev=corpus.dev.targets)
+    assert res.history[-1]["main/accuracy"] > 0.6
+    # master params must remain float32 despite bf16 compute
+    for leaf in jax.tree_util.tree_leaves(res.params):
+        if jnp.issubdtype(leaf.dtype, jnp.floating):
+            assert leaf.dtype == jnp.float32
+
+
+def test_rnn_bf16_training_learns(syn):
+    _, corpus = syn
+    net = get_network("gru", 1, [32], 16)
+    cfg = TrainConfig(
+        stages=[TrainStage(epoch=6, optimizer="adam", batch_size=16,
+                           lr=1e-3, early_stopping=False)],
+        bprop_len=10, seed=0, log=None, compute_dtype="bfloat16")
+    res = train_network(net, corpus.train.data, corpus.train.targets, cfg,
+                        offsets=corpus.train.offsets,
+                        x_dev=corpus.dev.data, y_dev=corpus.dev.targets)
+    assert res.history[-1]["main/accuracy"] > 0.5
+    assert res.history[-1]["main/loss"] < res.history[0]["main/loss"]
+    for leaf in jax.tree_util.tree_leaves(res.params):
+        if jnp.issubdtype(leaf.dtype, jnp.floating):
+            assert leaf.dtype == jnp.float32
+
+
+def test_bad_compute_dtype_rejected(syn):
+    _, corpus = syn
+    net = get_network("ff", 1, [8], 16)
+    cfg = TrainConfig(
+        stages=[TrainStage(epoch=1, optimizer="sgd", batch_size=32,
+                           lr=1e-3, early_stopping=False)],
+        seed=0, log=None, compute_dtype="float16")
+    with pytest.raises(ValueError, match="unsupported compute dtype"):
+        train_network(net, corpus.train.data, corpus.train.targets, cfg)
