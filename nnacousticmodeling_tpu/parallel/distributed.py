@@ -56,3 +56,35 @@ def local_batch_slice(global_batch: int) -> slice:
     per = global_batch // jax.process_count()
     start = jax.process_index() * per
     return slice(start, start + per)
+
+
+def global_batch_array(mesh, local_rows, axis_name: str = "data"):
+    """Assemble a global batch ``jax.Array`` sharded over ``axis_name``
+    from this host's process-local rows (the rows named by
+    ``local_batch_slice``). Each host feeds only its own shard; no
+    host ever materializes the global batch.
+
+    The TPU-native replacement for the reference's per-step full-batch
+    host->device upload (orcus_chainer_util.py:124-125)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    spec = P(axis_name, *([None] * (np_ndim(local_rows) - 1)))
+    sharding = NamedSharding(mesh, spec)
+    return jax.make_array_from_process_local_data(sharding, local_rows)
+
+
+def np_ndim(a) -> int:
+    import numpy as np
+    return np.ndim(a)
+
+
+def replicated_array(mesh, value):
+    """A fully-replicated global array from identical per-host data
+    (every process must pass the same ``value``)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    return jax.device_put(value, NamedSharding(mesh, P()))
+
+
+def sync(name: str = "sync") -> None:
+    """Barrier across all hosts (debug/bring-up aid)."""
+    from jax.experimental import multihost_utils
+    multihost_utils.sync_global_devices(name)

@@ -38,6 +38,23 @@ def make_mesh(axes: Dict[str, int], devices: Optional[Sequence] = None) -> Mesh:
     return Mesh(dev_array, tuple(axes.keys()))
 
 
+def parse_mesh_spec(spec: str) -> Dict[str, int]:
+    """Parse a ``--mesh`` CLI value like ``"data=4,model=2"`` or
+    ``"fold=2,data=4"`` into an ordered axis dict."""
+    axes: Dict[str, int] = {}
+    for part in spec.split(","):
+        part = part.strip()
+        if not part:
+            continue
+        if "=" not in part:
+            raise ValueError(f"bad mesh axis {part!r}; expected name=size")
+        name, size = part.split("=", 1)
+        axes[name.strip()] = int(size)
+    if not axes:
+        raise ValueError(f"empty mesh spec {spec!r}")
+    return axes
+
+
 def replicate(mesh: Mesh, tree):
     return jax.device_put(tree, NamedSharding(mesh, P()))
 
@@ -48,19 +65,29 @@ def shard_rows(mesh: Mesh, arr, axis_name: str = "data"):
 
 
 def param_shardings(mesh: Mesh, params, model_axis: Optional[str] = None):
-    """Sharding tree for network params: everything replicated except —
-    when a ``model`` axis exists — the output projection, whose class
-    dimension is sharded (w: (units, C) -> P(None, model); b: P(model)).
+    """Sharding tree for network params.
+
+    Without a ``model`` axis everything is replicated. With one, every
+    weight matrix is column-parallel over its OUTPUT dimension and the
+    matching bias is sharded the same way — this covers the output
+    projection (units -> 1909 pdfs, the reference's largest matmul) AND
+    the recurrent gate matrices (LSTM/GRU wx/wh of width 4H/3H, the
+    reference cells at chainer_networks.py:44-141): the per-step
+    ``h @ wh`` becomes a Megatron-style column-parallel matmul whose
+    gate nonlinearities stay sharded, with XLA/GSPMD inserting the
+    collectives where the elementwise state update recombines gates.
+    Leaves whose output dimension does not divide the axis size stay
+    replicated (correctness never depends on the sharding choice).
     """
     repl = NamedSharding(mesh, P())
+    if model_axis is None:
+        return jax.tree_util.tree_map(lambda _: repl, params)
+    m = dict(zip(mesh.axis_names, mesh.devices.shape))[model_axis]
 
     def assign(path, leaf):
-        if model_axis is not None and any(
-                getattr(p, "key", None) == "out" for p in path):
-            if leaf.ndim == 2:
-                return NamedSharding(mesh, P(None, model_axis))
-            if leaf.ndim == 1:
-                return NamedSharding(mesh, P(model_axis))
+        if leaf.ndim >= 1 and leaf.shape[-1] % m == 0 and leaf.shape[-1] >= m:
+            spec = P(*([None] * (leaf.ndim - 1)), model_axis)
+            return NamedSharding(mesh, spec)
         return repl
 
     return jax.tree_util.tree_map_with_path(assign, params)

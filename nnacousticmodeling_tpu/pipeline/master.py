@@ -77,6 +77,14 @@ def build_parser():
     parser.add_argument("--eval-data", nargs="+", default=["test"])
     parser.add_argument("--num-classes", type=int, default=None,
                         help="explicit class count forwarded to all phases")
+    parser.add_argument("--fold-parallel", action="store_true",
+                        help="train all K fold networks simultaneously as "
+                             "one vmapped program (train_cli "
+                             "--train-all-folds) instead of sequentially")
+    parser.add_argument("--mesh", default="",
+                        help="device mesh spec forwarded to training, e.g. "
+                             "'data=8', 'data=4,model=2', or (with "
+                             "--fold-parallel) 'fold=4'")
     return parser
 
 
@@ -156,6 +164,8 @@ def main(arg_list=None):
             cmd += ["--ivector-dir", args.ivector_dir[0]]
         if args.no_progress:
             cmd += ["--no-progress"]
+        if args.mesh:
+            cmd += ["--mesh", args.mesh]
         return cmd
 
     # phase 2: train master
@@ -166,18 +176,25 @@ def main(arg_list=None):
         print("==== Skipping training master network")
 
     # phase 3: train folds
+    fold_cmd_common = [
+        "--fold-data-dir", args.fold_data_dir,
+        "--fold-model-dir", args.fold_model_dir,
+        "--fold-data-pattern", args.fold_data_pattern,
+        "--fold-offset-pattern", args.fold_offset_pattern,
+        "--fold-target-pattern", args.fold_target_pattern,
+        "--fold-network-pattern", args.fold_network_pattern,
+        "--out", "result_fold_tmp"]
     if args.num_folds > 0 and not args.no_train_folds:
-        for fold in range(args.num_folds):
-            print(f"==== Training fold {fold}")
-            train_main(train_cmd([
-                "--train-fold", fold,
-                "--fold-data-dir", args.fold_data_dir,
-                "--fold-model-dir", args.fold_model_dir,
-                "--fold-data-pattern", args.fold_data_pattern,
-                "--fold-offset-pattern", args.fold_offset_pattern,
-                "--fold-target-pattern", args.fold_target_pattern,
-                "--fold-network-pattern", args.fold_network_pattern,
-                "--out", "result_fold_tmp"]))
+        if args.fold_parallel:
+            # all K folds as ONE vmapped/sharded program, replacing the
+            # reference's sequential loop (master_script.py:134-170)
+            print(f"==== Training all {args.num_folds} folds in parallel")
+            train_main(train_cmd(["--train-all-folds"] + fold_cmd_common))
+        else:
+            for fold in range(args.num_folds):
+                print(f"==== Training fold {fold}")
+                train_main(train_cmd(["--train-fold", fold]
+                                     + fold_cmd_common))
     else:
         print("==== Skipping training folds")
 

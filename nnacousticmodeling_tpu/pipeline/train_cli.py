@@ -37,6 +37,13 @@ def build_parser() -> argparse.ArgumentParser:
                         default="float32",
                         help="compute dtype for forward/backward; master "
                              "params and optimizer state stay float32")
+    parser.add_argument("--mesh", default="",
+                        help="device mesh spec, e.g. 'data=8' or "
+                             "'data=4,model=2': shard minibatches over the "
+                             "data axis (gradient all-reduce via XLA) and "
+                             "weight matrices column-parallel over the "
+                             "model axis; with --train-all-folds a 'fold' "
+                             "axis shards the K simultaneous fold networks")
     parser.add_argument("--out", default="result")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--no-validation", dest="use_validation",
@@ -49,6 +56,11 @@ def build_parser() -> argparse.ArgumentParser:
                              "(<out>/snapshot.npz written every epoch)")
     # fold / RPL training modes (train.py:59-70)
     parser.add_argument("--train-fold", type=int)
+    parser.add_argument("--train-all-folds", action="store_true",
+                        help="train ALL K fold networks simultaneously as "
+                             "one vmapped program (optionally sharded over "
+                             "a 'fold' mesh axis) instead of the "
+                             "reference's sequential per-fold loop")
     parser.add_argument("--train-rpl", action="store_true")
     parser.add_argument("--fold-data-dir", default="fold_data")
     parser.add_argument("--fold-output-dir", default="fold_data_out")
@@ -80,6 +92,41 @@ def _load_rpl_data(args):
     if fold == 0:
         raise FileNotFoundError("No fold data found")
     return np.concatenate(xs, axis=0), np.concatenate(ys, axis=0)
+
+
+def _load_all_fold_data(args):
+    """Every fold's data concatenated fold-ascending, plus the
+    per-utterance fold assignment — the shared corpus for fold-parallel
+    training (train/fold_parallel.py builds each fold's training-set
+    index universe from it, mirroring train.py:162-206)."""
+    xs, ys, ivs, utt_folds = [], [], [], []
+    offsets = [0]
+    num = 0
+    fold = 0
+    while True:
+        x_file = Path(args.fold_data_dir, args.fold_data_pattern.format(fold))
+        if not x_file.is_file():
+            break
+        print(f"Loading fold {fold} data")
+        x_fold = np.load(str(x_file))
+        xs.append(x_fold)
+        off = np.load(str(Path(args.fold_data_dir,
+                               args.fold_offset_pattern.format(fold))))
+        offsets.extend((off[1:] + num).tolist())
+        utt_folds.extend([fold] * (len(off) - 1))
+        ys.append(np.load(str(Path(args.fold_data_dir,
+                                   args.fold_target_pattern.format(fold)))))
+        if args.ivector_dir is not None:
+            ivs.append(np.load(str(Path(args.fold_data_dir,
+                                        args.fold_ivector_pattern.format(fold)))))
+        num += x_fold.shape[0]
+        fold += 1
+    if not xs:
+        raise FileNotFoundError("No fold data found")
+    return (np.concatenate(xs, axis=0), np.concatenate(ys, axis=0),
+            np.asarray(offsets, dtype=np.int64),
+            np.concatenate(ivs, axis=0) if ivs else None,
+            np.asarray(utt_folds, dtype=np.int64), fold)
 
 
 def _load_fold_train_data(args, recurrent: bool):
@@ -118,6 +165,17 @@ def _load_fold_train_data(args, recurrent: bool):
     return x, y, off, iv
 
 
+def _build_mesh(spec: str):
+    """``--mesh`` spec -> (Mesh | None, model_axis | None)."""
+    if not spec:
+        return None, None
+    from ..parallel import make_mesh, parse_mesh_spec
+    axes = parse_mesh_spec(spec)
+    mesh = make_mesh(axes)
+    model_axis = "model" if axes.get("model", 1) > 1 else None
+    return mesh, model_axis
+
+
 def main(arg_list=None):
     parser = build_parser()
     args = parser.parse_args(list(map(str, arg_list)) if arg_list is not None
@@ -139,7 +197,11 @@ def main(arg_list=None):
                 y_dev = np.load(str(Path(args.target_dir,
                                          args.targets.format("dev"))))
     else:
-        if args.train_fold is not None:
+        utt_folds = num_folds = None
+        if args.train_all_folds:
+            (x, y, offsets, ivectors, utt_folds,
+             num_folds) = _load_all_fold_data(args)
+        elif args.train_fold is not None:
             x, y, offsets, ivectors = _load_fold_train_data(args, recurrent)
         else:
             x = np.load(str(Path(args.data_dir, args.data.format("train"))))
@@ -177,13 +239,37 @@ def main(arg_list=None):
     # ---- model + stages ----------------------------------------------
     stages = build_stages(args.epoch, args.optimizer, args.batch_size,
                           args.lr, args.early_stopping)
+    mesh, model_axis = _build_mesh(args.mesh)
+    # the engine consumes data/model axes; a fold-only mesh is for the
+    # --train-all-folds path and must not reach the engine
+    engine_mesh = (mesh if mesh is not None
+                   and "data" in mesh.axis_names else None)
     config = TrainConfig(stages=stages, bprop_len=args.bproplen,
                          seed=args.seed,
                          use_validation=args.use_validation and x_dev is not None,
                          log=print,
                          snapshot_path=str(Path(args.out) / "snapshot.npz"),
                          resume_snapshot=bool(args.resume),
-                         compute_dtype=args.dtype)
+                         compute_dtype=args.dtype,
+                         mesh=engine_mesh,
+                         model_axis=model_axis if engine_mesh is not None
+                         else None)
+
+    if args.train_all_folds:
+        # all K fold networks as one vmapped (optionally fold-sharded)
+        # program — replaces master_script.py:134-170's sequential loop
+        from ..train.fold_parallel import train_folds_parallel
+        net = build_network(args, num_classes)
+        fold_mesh = (mesh if mesh is not None
+                     and "fold" in mesh.axis_names else None)
+        fold_params = train_folds_parallel(
+            net, x, y, offsets, utt_folds, num_folds, config,
+            x_dev=x_dev, y_dev=y_dev, mesh=fold_mesh)
+        Path(args.fold_model_dir).mkdir(exist_ok=True, parents=True)
+        for k, p in enumerate(fold_params):
+            save_pytree(str(Path(args.fold_model_dir,
+                                 args.fold_network_pattern.format(k))), p)
+        return fold_params
 
     if args.train_rpl:
         rpl = RPL4(num_classes)

@@ -60,6 +60,14 @@ class TrainConfig:
     # and the loss stay float32 (the parity default is pure f32; the
     # reference is f32-only — Chainer 3.5 + CuPy, README.md:90-95)
     compute_dtype: str = "float32"
+    # distribution: a jax.sharding.Mesh shards every update step —
+    # minibatches over ``data_axis`` (gradient all-reduce by XLA) and,
+    # when ``model_axis`` names a mesh axis, weight matrices
+    # column-parallel over their output dims (parallel/mesh.py). The
+    # reference is strictly single-device (train.py:122-125).
+    mesh: Any = None
+    data_axis: str = "data"
+    model_axis: Optional[str] = None
 
 
 @dataclass
@@ -125,6 +133,41 @@ def _mixed_apply(dt, apply):
     return wrapped
 
 
+def _batch_constrainer(config):
+    """Sharding constraint for minibatch tensors: rows over the data
+    axis. Identity without a mesh."""
+    if config.mesh is None:
+        return lambda a: a
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    def constrain(a):
+        spec = P(config.data_axis, *([None] * (a.ndim - 1)))
+        return jax.lax.with_sharding_constraint(
+            a, NamedSharding(config.mesh, spec))
+    return constrain
+
+
+def _mesh_place(config, params, xd, yd, xvd, yvd):
+    """Place params per the TP/replication plan and pin the corpus
+    replicated on the mesh so jitted gathers see consistent shardings."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from ..parallel.mesh import param_shardings
+    mesh = config.mesh
+    axis_sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+    if config.data_axis not in axis_sizes:
+        raise ValueError(f"mesh has no {config.data_axis!r} axis")
+    for stage in config.stages:
+        if stage.batch_size % axis_sizes[config.data_axis] != 0:
+            raise ValueError(
+                f"batch size {stage.batch_size} not divisible by data-axis "
+                f"size {axis_sizes[config.data_axis]}")
+    params = jax.device_put(
+        params, param_shardings(mesh, params, config.model_axis))
+    repl = NamedSharding(mesh, P())
+    put = lambda a: None if a is None else jax.device_put(a, repl)
+    return params, put(xd), put(yd), put(xvd), put(yvd)
+
+
 def _loss_acc(logits, targets):
     loss = optax.softmax_cross_entropy_with_integer_labels(logits, targets)
     acc = (jnp.argmax(logits, axis=-1) == targets).astype(jnp.float32)
@@ -160,9 +203,11 @@ def train_network(
     xd = jnp.asarray(x)
     yd = jnp.asarray(y)
     use_val = config.use_validation and x_dev is not None
-    if use_val:
-        xvd = jnp.asarray(x_dev)
-        yvd = jnp.asarray(y_dev)
+    xvd = jnp.asarray(x_dev) if use_val else None
+    yvd = jnp.asarray(y_dev) if use_val else None
+    if config.mesh is not None:
+        params, xd, yd, xvd, yvd = _mesh_place(config, params, xd, yd,
+                                               xvd, yvd)
 
     recurrent = getattr(net, "is_recurrent", False) and apply_fn is None
     history: List[dict] = []
@@ -221,6 +266,10 @@ def train_network(
             # selection only covers epochs run after the resume point.
             from .checkpoint import load_pytree
             params = load_pytree(_snapshot_file(config.snapshot_path), params)
+            if config.mesh is not None:
+                from ..parallel.mesh import param_shardings
+                params = jax.device_put(params, param_shardings(
+                    config.mesh, params, config.model_axis))
             if resume_epoch < stage.epoch:
                 opt_state = _restore_opt_state(resume_blob, opt_state)
                 bv = float(resume_blob["__best_val__"])
@@ -291,11 +340,12 @@ def _make_ff_stage(net, opt, xd, yd, config, bs, val, apply_fn,
     apply = apply_fn or (lambda p, xb, rng, train: net.apply(
         p, xb, rng=rng, train=train))
     apply = _mixed_apply(_compute_dtype(config), apply)
+    constrain = _batch_constrainer(config)
 
     @jax.jit
     def update(params, opt_state, idx, rng, xd, yd):
-        xb = jnp.take(xd, idx, axis=0)
-        yb = jnp.take(yd, idx, axis=0)
+        xb = constrain(jnp.take(xd, idx, axis=0))
+        yb = constrain(jnp.take(yd, idx, axis=0))
 
         def loss_fn(p):
             logits = apply(p, xb, rng, True)
@@ -386,10 +436,12 @@ def _make_rnn_stage(net, opt, xd, yd, offsets, config, bs, val,
                 lambda a: a.astype(dt)
                 if jnp.issubdtype(a.dtype, jnp.floating) else a, s)
 
+    constrain = _batch_constrainer(config)
+
     @jax.jit
     def update(params, opt_state, state, idx, rng, xd, yd):
-        xb = jnp.take(xd, idx.reshape(-1), axis=0).reshape(bs, L, -1)
-        yb = jnp.take(yd, idx.reshape(-1), axis=0).reshape(bs, L)
+        xb = constrain(jnp.take(xd, idx.reshape(-1), axis=0).reshape(bs, L, -1))
+        yb = constrain(jnp.take(yd, idx.reshape(-1), axis=0).reshape(bs, L))
 
         def loss_fn(p):
             logits, new_state = seq_apply(p, xb, state, rng=rng,
@@ -423,6 +475,12 @@ def _make_rnn_stage(net, opt, xd, yd, offsets, config, bs, val,
                 float(jnp.mean(jnp.stack(accs))))
 
     state0 = state_cast(net.init_state(bs))
+    if config.mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        state0 = jax.tree_util.tree_map(
+            lambda a: jax.device_put(a, NamedSharding(
+                config.mesh,
+                P(config.data_axis, *([None] * (a.ndim - 1))))), state0)
 
     if val is None:
         return run_epoch, None, state0
@@ -442,6 +500,14 @@ def _make_rnn_stage(net, opt, xd, yd, offsets, config, bs, val,
 
     @jax.jit
     def eval_fn(params):
+        if config.mesh is not None and config.model_axis is not None:
+            # one all-gather up front instead of per-step collectives
+            # inside the long validation scan (train steps only scan
+            # bprop_len steps; here T can be hundreds)
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            repl = NamedSharding(config.mesh, P())
+            params = jax.tree_util.tree_map(
+                lambda a: jax.lax.with_sharding_constraint(a, repl), params)
         logits, _ = seq_apply(params, xv_streams,
                               state_cast(net.init_state(bs)))
         loss = optax.softmax_cross_entropy_with_integer_labels(

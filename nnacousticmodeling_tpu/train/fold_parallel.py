@@ -9,10 +9,13 @@ networks train as ONE vmapped computation over a leading ``fold`` axis:
   train.py:162-206) is just an index universe into it;
 * every update gathers a (K, B, L) index block, runs K forwards/
   backwards as one batched program, and applies K optimizer updates —
-  on a device mesh the fold axis shards so folds really train on
-  different chips;
+  given a mesh with a ``fold`` axis the stacked params/optimizer/state
+  shard over it, so folds really train on different chips;
 * per-fold early stopping masks updates of stopped folds (their
-  params freeze) until all folds finish.
+  params freeze) until all folds finish;
+* dev evaluation is one jitted program built ONCE (not per stage),
+  running the recurrent dev set as B parallel streams like the engine
+  (engine.py `_make_rnn_stage` eval) instead of a single batch-1 scan.
 """
 
 from __future__ import annotations
@@ -44,6 +47,20 @@ def fold_index_universe(offsets: np.ndarray, utt_folds: np.ndarray,
     return np.concatenate(frames), np.asarray(local_offsets, dtype=np.int64)
 
 
+def _fold_sharder(mesh, fold_axis: str):
+    """Per-leaf placement: leading dim over the fold axis."""
+    if mesh is None:
+        return lambda tree: tree
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    def put(tree):
+        def assign(leaf):
+            spec = P(fold_axis, *([None] * (leaf.ndim - 1)))
+            return jax.device_put(leaf, NamedSharding(mesh, spec))
+        return jax.tree_util.tree_map(assign, tree)
+    return put
+
+
 def train_folds_parallel(
     net,
     x: np.ndarray,
@@ -54,12 +71,30 @@ def train_folds_parallel(
     config: TrainConfig,
     x_dev: Optional[np.ndarray] = None,
     y_dev: Optional[np.ndarray] = None,
+    mesh: Any = None,
+    fold_axis: str = "fold",
+    eval_batch: int = 64,
 ) -> List[Any]:
-    """Returns the list of K trained fold params."""
+    """Returns the list of K trained fold params.
+
+    ``mesh``: optional ``jax.sharding.Mesh`` with a ``fold_axis`` whose
+    size divides ``num_folds`` — the stacked fold networks then shard
+    over devices (the TPU-native replacement for the reference's
+    sequential fold loop)."""
     log = config.log or (lambda s: None)
     recurrent = getattr(net, "is_recurrent", False)
     rng_np = np.random.default_rng(config.seed)
     key = jax.random.PRNGKey(config.seed)
+
+    if mesh is not None:
+        sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+        if fold_axis not in sizes:
+            raise ValueError(f"mesh has no {fold_axis!r} axis")
+        if num_folds % sizes[fold_axis] != 0:
+            raise ValueError(
+                f"num_folds {num_folds} not divisible by fold-axis size "
+                f"{sizes[fold_axis]}")
+    shard_folds = _fold_sharder(mesh, fold_axis)
 
     if offsets is None:
         offsets = np.array([0, x.shape[0]], dtype=np.int64)
@@ -68,25 +103,56 @@ def train_folds_parallel(
 
     keys = jax.random.split(key, num_folds + 1)
     key = keys[0]
-    params = jax.tree_util.tree_map(
+    params = shard_folds(jax.tree_util.tree_map(
         lambda *leaves: jnp.stack(leaves),
-        *[net.init(keys[k + 1], x.shape[1]) for k in range(num_folds)])
+        *[net.init(keys[k + 1], x.shape[1]) for k in range(num_folds)]))
 
     xd = jnp.asarray(x)
     yd = jnp.asarray(y)
     use_val = config.use_validation and x_dev is not None
+
+    L = config.bprop_len if recurrent else 1
+
+    # ---- dev evaluation: built once, shared by every stage ------------
+    evaluate = None
     if use_val:
         xvd = jnp.asarray(x_dev)
         yvd = jnp.asarray(y_dev)
+        if recurrent:
+            # B-stream layout over the dev set (engine semantics):
+            # stream b reads frames [b*nv//B + t], no shuffle
+            nv = int(xvd.shape[0])
+            ebs = min(eval_batch, nv)
+            vsteps = max(nv // ebs, 1)
+            v_off = (np.arange(ebs, dtype=np.int64) * nv) // ebs
+            v_idx = (v_off[:, None] + np.arange(vsteps)[None, :]) % nv
+            xv_streams = jnp.take(xvd, jnp.asarray(v_idx.reshape(-1)), axis=0
+                                  ).reshape(ebs, vsteps, -1)
+            yv_streams = jnp.take(yvd, jnp.asarray(v_idx.reshape(-1)), axis=0
+                                  ).reshape(ebs, vsteps)
 
-    L = config.bprop_len if recurrent else 1
+            @jax.jit
+            def evaluate(params):
+                def one(p):
+                    logits, _ = net.apply_sequence(p, xv_streams)
+                    return optax.softmax_cross_entropy_with_integer_labels(
+                        logits, yv_streams).mean()
+                return jax.vmap(one)(params)
+        else:
+            @jax.jit
+            def evaluate(params):
+                def one(p):
+                    logits = net.apply(p, xvd)
+                    return optax.softmax_cross_entropy_with_integer_labels(
+                        logits, yvd).mean()
+                return jax.vmap(one)(params)
 
     for si, stage in enumerate(config.stages):
         log(f"=== Fold-parallel stage {si}: {num_folds} folds, "
             f"epoch = {stage.epoch}, bs = {stage.batch_size}, "
             f"opt = {stage.optimizer}")
         opt = make_optimizer(stage.optimizer, stage.lr)
-        opt_state = jax.vmap(opt.init)(params)
+        opt_state = shard_folds(jax.vmap(opt.init)(params))
         bs = stage.batch_size
 
         if recurrent:
@@ -110,9 +176,9 @@ def train_folds_parallel(
                             loss / L)
                 return jax.vmap(one)(params, opt_state, state, idx,
                                      active, rng)
-            state = jax.tree_util.tree_map(
+            state = shard_folds(jax.tree_util.tree_map(
                 lambda a: jnp.stack([a] * num_folds),
-                net.init_state(bs))
+                net.init_state(bs)))
         else:
             @jax.jit
             def update(params, opt_state, idx, active, rng):
@@ -131,16 +197,6 @@ def train_folds_parallel(
                     return optax.apply_updates(p, upd), o2, loss
                 return jax.vmap(one)(params, opt_state, idx, active, rng)
             state = None
-
-        if use_val:
-            @jax.jit
-            def evaluate(params):
-                def one(p):
-                    logits = net.apply(p, xvd) if not recurrent else \
-                        net.apply_sequence(p, xvd[None])[0][0]
-                    return optax.softmax_cross_entropy_with_integer_labels(
-                        logits, yvd).mean()
-                return jax.vmap(one)(params)
 
         n_steps = min(len(u[0]) for u in universes) // (bs * L)
         n_steps = max(n_steps, 1)
@@ -162,12 +218,13 @@ def train_folds_parallel(
                 key, uk = jax.random.split(key)
                 rks = jax.random.split(uk, num_folds)
                 act = jnp.asarray(active, jnp.float32)
+                idx = shard_folds(jnp.asarray(idx))
                 if recurrent:
                     params, opt_state, state, loss = update(
-                        params, opt_state, state, jnp.asarray(idx), act, rks)
+                        params, opt_state, state, idx, act, rks)
                 else:
                     params, opt_state, loss = update(
-                        params, opt_state, jnp.asarray(idx), act, rks)
+                        params, opt_state, idx, act, rks)
                 losses.append(np.asarray(loss))
             mean_loss = np.stack(losses).mean(axis=0)
             msg = (f"  stage={si} epoch={epoch + 1} "
@@ -206,5 +263,5 @@ def train_folds_parallel(
         if not stage.early_stopping and best_params is not None:
             params = best_params
 
-    return [jax.tree_util.tree_map(lambda l: l[k], params)
+    return [jax.tree_util.tree_map(lambda l: np.asarray(l[k]), params)
             for k in range(num_folds)]

@@ -58,3 +58,45 @@ def test_folds_train_in_parallel(network):
     a = np.asarray(jax.tree_util.tree_leaves(fold_params[0])[0])
     b = np.asarray(jax.tree_util.tree_leaves(fold_params[1])[0])
     assert not np.allclose(a, b)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+@pytest.mark.parametrize("network", ["ff", "lstm"])
+def test_fold_mesh_matches_unsharded(network):
+    """Sharding the fold axis over devices must not change the math
+    (same RNG streams -> allclose params), with validation on."""
+    from nnacousticmodeling_tpu.parallel import make_mesh
+    img = make_synthetic_image(num_phones=4, num_states=16, seed=3, tied=False)
+    corpus = make_synthetic_corpus(img, dim=10, num_train=16, num_dev=8,
+                                   num_test=4, noise=0.4, seed=3)
+    c, d = corpus.train, corpus.dev
+    utt_folds = np.arange(c.num_utts) % 4
+    net = get_network(network, 1, [16], 16)
+    cfg = TrainConfig(
+        stages=[TrainStage(epoch=3, optimizer="momentumsgd", batch_size=8,
+                           lr=1e-2, early_stopping=False)],
+        bprop_len=5, seed=0, log=None)
+    kw = dict(x_dev=d.data, y_dev=d.targets)
+    ref = train_folds_parallel(net, c.data, c.targets, c.offsets,
+                               utt_folds, 4, cfg, **kw)
+    got = train_folds_parallel(net, c.data, c.targets, c.offsets,
+                               utt_folds, 4, cfg,
+                               mesh=make_mesh({"fold": 4}), **kw)
+    for a, b in zip(jax.tree_util.tree_leaves(ref),
+                    jax.tree_util.tree_leaves(got)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)
+
+
+def test_fold_mesh_validation():
+    """num_folds must divide the fold-axis size."""
+    from nnacousticmodeling_tpu.parallel import make_mesh
+    net = get_network("ff", 1, [8], 4)
+    cfg = TrainConfig(stages=[TrainStage(1, "sgd", 4, 1e-2, False)],
+                      log=None, use_validation=False)
+    x = np.zeros((12, 4), np.float32)
+    y = np.zeros(12, np.int32)
+    if len(jax.devices()) >= 2:
+        with pytest.raises(ValueError, match="not divisible"):
+            train_folds_parallel(net, x, y, None, np.zeros(1, np.int64), 3,
+                                 cfg, mesh=make_mesh({"fold": 2}))

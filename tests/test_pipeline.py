@@ -70,6 +70,35 @@ def test_master_pipeline_ensemble(corpus_root):
     assert full <= master_only + 15.0
 
 
+def test_master_pipeline_fold_parallel_sharded(corpus_root):
+    """The six-phase master pipeline with --fold-parallel --mesh: folds
+    train as ONE sharded program over a 2-device fold axis and the
+    ensemble evaluation still produces a learned PER."""
+    import jax
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multiple devices")
+    results = master_main([
+        "--num-folds", "2", "--gen-folds", "--fold-parallel",
+        "--mesh", "fold=2",
+        "--data-dir", f"{corpus_root}/data",
+        "--offset-dir", f"{corpus_root}/data",
+        "--target-dir", f"{corpus_root}/data",
+        "--utt-list-dir", f"{corpus_root}/data",
+        "--recog-dir", f"{corpus_root}/recog",
+        "--output-dir", f"{corpus_root}/results",
+        "--output-id", "tpar",
+        "--network-spec=-n gru -l 1 -u 48",
+        "--rpl-train-setup=-b 512 --epoch 2 -o adam --early-stopping false",
+        "--epoch", "3", "-o", "adam", "-b", "8",
+        "--early-stopping", "false",
+        "--PIP", "5", "--seed", "0", "--num-classes", "17",
+        "--eval-data", "test",
+    ])
+    assert len(results) == 6
+    for key, per in results.items():
+        assert per < 60.0, f"{key}: PER {per}"
+
+
 def test_ivector_adaptation_pipeline(tmp_path):
     """Speaker-biased synthetic corpus with i-vectors: the master
     pipeline with --ivector-dir must run end to end and the adapted
