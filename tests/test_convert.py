@@ -308,3 +308,156 @@ def test_parity_cli_roundtrip(tmp_path, rng):
         "--atol", "1e-4",
     ])
     assert ok is True
+
+
+# ---------------------------------------------------------------------------
+# full-model parity THROUGH the data-prep path (train.py:224-264):
+# splice -> feature transform -> i-vector concat -> time delay
+# ---------------------------------------------------------------------------
+
+def _write_ft_file(path, rng, in_dim, shifts):
+    """Synthesize a Kaldi nnet1 feature transform in the reference's
+    fixed-line format (kaldi/final.feature_transform:1-7)."""
+    dim_out = in_dim * len(shifts)
+    add = rng.standard_normal(dim_out).astype(np.float32) * 0.2
+    scale = (rng.random(dim_out).astype(np.float32) * 0.5 + 0.75)
+    fmt = lambda v: " ".join(repr(float(f)) for f in v)
+    path.write_text(
+        "<Nnet> \n"
+        f"<Splice> {dim_out} {in_dim} \n"
+        f"[ {' '.join(str(s) for s in shifts)} ]\n"
+        f"<AddShift> {dim_out} {dim_out} \n"
+        f"<LearnRateCoef> 0  [ {fmt(add)} ]\n"
+        f"<Rescale> {dim_out} {dim_out} \n"
+        f"<LearnRateCoef> 0  [ {fmt(scale)} ]\n"
+        "</Nnet> \n")
+    return add, scale
+
+
+def _ref_splice(x, shifts):
+    """Reference splicing (kw_utils.py:24-36): per-shift row clamp at
+    the CORPUS edges (utterance boundaries are crossed), shift-major
+    column blocks."""
+    n = x.shape[0]
+    cols = [x[np.clip(np.arange(n) + s, 0, n - 1)] for s in shifts]
+    return np.concatenate(cols, axis=1)
+
+
+def test_parity_full_prep_ff(tmp_path, rng):
+    """FF parity gate through the real prep: splice ±2 -> (x+shift)*scale
+    -> i-vector concat -> MLP -> log-softmax, vs an independent numpy
+    transcription of the reference chain."""
+    from nnacousticmodeling_tpu.pipeline.parity import main as parity_main
+    from nnacousticmodeling_tpu.ops.numerics import ref_logsum
+
+    in_dim, iv_dim, units, classes, T = 4, 3, 6, 7, 30
+    shifts = list(range(-2, 3))
+    add, scale = _write_ft_file(tmp_path / "ft.txt", rng, in_dim, shifts)
+
+    model_in = in_dim * len(shifts) + iv_dim
+    src = {}
+    dims = [model_in, units]
+    for l in range(2):
+        lin = _rand_linear(rng, units, dims[min(l, 1)])
+        src[f"predictor/layer_{l}/W"] = lin["W"]
+        src[f"predictor/layer_{l}/b"] = lin["b"]
+    out = _rand_linear(rng, classes, units)
+    src["predictor/out/W"] = out["W"]
+    src["predictor/out/b"] = out["b"]
+    np.savez(tmp_path / "model.npz", **src)
+
+    x = rng.standard_normal((T, in_dim)).astype(np.float32)
+    iv = rng.standard_normal((T, iv_dim)).astype(np.float32)
+    np.save(tmp_path / "data_test.npy", x)
+    np.save(tmp_path / "ivectors_test.npy", iv)
+    np.save(tmp_path / "offsets_test.npy", np.array([0, T]))
+
+    # independent oracle of the whole reference chain
+    h = (_ref_splice(x, shifts) + add) * scale
+    h = np.concatenate([h, iv], axis=1).astype(np.float32)
+    for l in range(2):
+        h = np.maximum(h @ src[f"predictor/layer_{l}/W"].T
+                       + src[f"predictor/layer_{l}/b"], 0)
+    logits = h @ out["W"].T + out["b"]
+    ref = logits - ref_logsum(logits, axis=1)
+    np.save(tmp_path / "ref_post.npy", ref)
+
+    ok = parity_main([
+        "--checkpoint", str(tmp_path / "model.npz"),
+        "-n", "ff", "-l", "2", "-u", str(units),
+        "--num-classes", str(classes),
+        "--splice", "2", "--ft", "ft.txt",
+        "--data-dir", str(tmp_path), "--offset-dir", str(tmp_path),
+        "--ivector-dir", str(tmp_path),
+        "--out", str(tmp_path / "ours.npy"),
+        "--reference-posteriors", str(tmp_path / "ref_post.npy"),
+        "--atol", "1e-4",
+    ])
+    assert ok is True
+
+
+def test_parity_full_prep_lstm_timedelay(tmp_path, rng):
+    """Recurrent parity gate through the real prep: center-specialized
+    feature transform -> i-vector concat -> timedelay-2 inference with
+    the reference's quirks (first k outputs dropped, last k rows zero —
+    predict_folds.py:49-64)."""
+    from nnacousticmodeling_tpu.pipeline.parity import main as parity_main
+    from nnacousticmodeling_tpu.ops.numerics import ref_logsum
+
+    in_dim, iv_dim, units, classes, delay = 4, 2, 5, 6, 2
+    shifts = list(range(-2, 3))
+    add, scale = _write_ft_file(tmp_path / "ft.txt", rng, in_dim, shifts)
+    zi = shifts.index(0)
+    add_c = add[zi * in_dim:(zi + 1) * in_dim]
+    scale_c = scale[zi * in_dim:(zi + 1) * in_dim]
+
+    model_in = in_dim + iv_dim
+    src = {}
+    src["predictor/layer_0/upward/W"] = rng.standard_normal(
+        (4 * units, model_in)).astype(np.float32) * 0.3
+    src["predictor/layer_0/upward/b"] = rng.standard_normal(
+        4 * units).astype(np.float32) * 0.1
+    src["predictor/layer_0/lateral/W"] = rng.standard_normal(
+        (4 * units, units)).astype(np.float32) * 0.3
+    out = _rand_linear(rng, classes, units)
+    src["predictor/out/W"] = out["W"]
+    src["predictor/out/b"] = out["b"]
+    np.savez(tmp_path / "model.npz", **src)
+
+    lengths = [17, 11]
+    offsets = np.concatenate([[0], np.cumsum(lengths)])
+    T = int(offsets[-1])
+    x = rng.standard_normal((T, in_dim)).astype(np.float32)
+    iv = rng.standard_normal((T, iv_dim)).astype(np.float32)
+    np.save(tmp_path / "data_test.npy", x)
+    np.save(tmp_path / "ivectors_test.npy", iv)
+    np.save(tmp_path / "offsets_test.npy", offsets)
+
+    # oracle: center ft -> iv concat, then per-utterance chainer LSTM
+    # over steps [0, l); output row r = log-softmax(step r+delay) for
+    # r < l-delay, rows [l-delay, l) stay 0.0
+    feats = np.concatenate([(x + add_c) * scale_c, iv],
+                           axis=1).astype(np.float32)
+    refs = []
+    for u in range(len(lengths)):
+        seg = feats[offsets[u]:offsets[u + 1]][None]
+        h = _chainer_lstm_oracle(src, "predictor/layer_0", seg)[0]
+        logits = h @ out["W"].T + out["b"]
+        lp = logits - ref_logsum(logits, axis=1)
+        o = np.zeros_like(lp)
+        o[:lengths[u] - delay] = lp[delay:]
+        refs.append(o)
+    np.save(tmp_path / "ref_post.npy", np.concatenate(refs, axis=0))
+
+    ok = parity_main([
+        "--checkpoint", str(tmp_path / "model.npz"),
+        "-n", "lstm", "-l", "1", "-u", str(units),
+        "--num-classes", str(classes),
+        "--timedelay", str(delay), "--ft", "ft.txt",
+        "--data-dir", str(tmp_path), "--offset-dir", str(tmp_path),
+        "--ivector-dir", str(tmp_path),
+        "--out", str(tmp_path / "ours.npy"),
+        "--reference-posteriors", str(tmp_path / "ref_post.npy"),
+        "--atol", "1e-4",
+    ])
+    assert ok is True
