@@ -175,3 +175,57 @@ def build_timit_image(
     tm = load_transition_model(mdl_file)
     names = timit48_phone_names(phone_map_file)
     return build_image(tree, tm, names, lm=lm)
+
+
+def main(arg_list=None):
+    """Image-minting CLI — fills the reference's missing-blob gap
+    (recog/kaldiTri1909.img is absent from its tree and it ships no
+    generator, .MISSING_LARGE_BLOBS:2)::
+
+        python -m nnacousticmodeling_tpu.decoder.graph \
+            --out recog/kaldiTri1909.img [--lm-from-mlf train_ref.mlf ...]
+    """
+    import argparse
+
+    from ..io.mlf import load_mlf
+    from .image import save_image
+
+    parser = argparse.ArgumentParser(
+        description="Mint a PhoneRecog decoding image from Kaldi artifacts")
+    parser.add_argument("--out", required=True,
+                        help="output image file (native PhoneRecog format)")
+    parser.add_argument("--tree", default="/root/reference/kaldi/tree")
+    parser.add_argument("--mdl", default="/root/reference/kaldi/final.mdl")
+    parser.add_argument("--phone-map",
+                        default="/root/reference/recog/phones.60-48-39.map")
+    parser.add_argument("--lm-from-mlf", nargs="+", default=None,
+                        help="estimate the phone bigram LM from these "
+                             "reference MLFs (uniform LM otherwise)")
+    parser.add_argument("--lm-add-k", type=float, default=0.5,
+                        help="add-k smoothing for the estimated LM")
+    args = parser.parse_args(list(map(str, arg_list))
+                             if arg_list is not None else None)
+
+    lm = None
+    if args.lm_from_mlf:
+        names = timit48_phone_names(args.phone_map)
+        words = {}
+        for f in args.lm_from_mlf:
+            words.update({u: e.words for u, e in load_mlf(f).items()})
+        lm = estimate_bigram_lm(words, names,
+                                phone_map_file=args.phone_map,
+                                add_k=args.lm_add_k)
+        print(f"bigram LM estimated from {len(words)} transcripts")
+    img = build_timit_image(tree_file=args.tree, mdl_file=args.mdl,
+                            phone_map_file=args.phone_map, lm=lm)
+    from pathlib import Path
+    Path(args.out).parent.mkdir(exist_ok=True, parents=True)
+    save_image(args.out, img)
+    print(f"wrote {args.out}: {img.num_phones} phones, "
+          f"{img.num_biphones} biphones, {img.num_triphones} triphones, "
+          f"{img.num_states} pdfs")
+    return img
+
+
+if __name__ == "__main__":
+    main()

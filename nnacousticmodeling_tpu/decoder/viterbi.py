@@ -40,7 +40,10 @@ import numpy as np
 from .image import HmmImage
 
 NEG_INF = -1.0e20   # the reference's infinity stand-in
-TIME_PACK = 2048    # packed backpointer: tri * TIME_PACK + (t_entry + 1)
+TIME_PACK = 2048    # minimum packing: tri * pack + (t_entry + 1); grows
+                    # per-decode as the next power of two > T+1 so long
+                    # utterances decode without chunking (bounded by
+                    # num_triphones * pack < 2^31)
 
 
 @dataclass
@@ -75,6 +78,7 @@ class ViterbiDecoder:
         img = image
         if img.num_triphones * TIME_PACK >= 2 ** 31:
             raise ValueError("image too large for packed backpointers")
+        self.max_frames = 2 ** 31 // img.num_triphones - 2
         self._biphone_in = jnp.asarray(img.biphone_in)
         self._state_idxs = jnp.asarray(img.state_idxs)           # (T3, 3)
         self._tp_self = jnp.asarray(img.tp_selfloop)             # (T3, 3)
@@ -173,6 +177,21 @@ class ViterbiDecoder:
                           preferred_element_type=jnp.float32)
 
     # ------------------------------------------------------------------
+    def _time_pack_for(self, t: int) -> int:
+        """Packing factor for a T-frame decode: the smallest power of
+        two > T+1 (>= 2048, matching the Pallas kernel's fixed factor
+        for short utterances). Static per compiled shape."""
+        pack = TIME_PACK
+        while pack <= t + 1:
+            pack *= 2
+        if self.image.num_triphones * pack >= 2 ** 31:
+            raise ValueError(
+                f"utterance of {t} frames exceeds the packed-backpointer "
+                f"ceiling ({self.max_frames} frames for this image); "
+                f"split the utterance")
+        return pack
+
+    # ------------------------------------------------------------------
     def _detect_cube_order(self) -> Optional[str]:
         """Detect a dense full-context triphone cube and its index
         order: 'bac' (graph builder: idx = b*P^2 + a*P + c) or 'abc'
@@ -206,6 +225,7 @@ class ViterbiDecoder:
         each (center, right) pair.
         """
         P = self.image.num_phones
+        pack = self._time_pack_for(lp.shape[0])
         a_axis = 0 if order == "abc" else 1
         state_idxs = self._state_idxs.reshape(P, P, P, 3)
         tp_self = self._tp_self.reshape(P, P, P, 3)
@@ -253,7 +273,7 @@ class ViterbiDecoder:
                        + arg_a * P
                        + jax.lax.broadcasted_iota(jnp.int32, (P, P), 1))
             p_new = mx + lm                                  # (P,P) [b, c]
-            packed = (tri * TIME_PACK + (best_t + 1)).reshape(-1)
+            packed = (tri * pack + (best_t + 1)).reshape(-1)
             end_scores = p_new.reshape(-1)[end_idxs]
             return (p_new, pp_new, tt_new), (packed, end_scores)
 
@@ -282,6 +302,7 @@ class ViterbiDecoder:
         fanin_any = self._fanin_any
         pip = jnp.float32(self.pip)
         t3 = self.image.num_triphones
+        pack = self._time_pack_for(lp.shape[0])
 
         def frame_step(carry, inp):
             p, pp, tt = carry          # p (B,), pp (T3,3) f32, tt (T3,3) i32
@@ -307,7 +328,7 @@ class ViterbiDecoder:
                                0)                          # C++ default mxi=0
             p_new = mx + lm
             best_t = tt_new[best_i, 2]
-            packed = best_i * TIME_PACK + (best_t + 1)     # entry time >= -1
+            packed = best_i * pack + (best_t + 1)          # entry time >= -1
             end_scores = p_new[self._end_idxs]             # (P,)
             return (p_new, pp_new, tt_new), (packed, end_scores)
 
@@ -327,6 +348,7 @@ class ViterbiDecoder:
         index 0 = LAST segment, and the segment count.
         """
         T = packed.shape[0]
+        pack = self._time_pack_for(T)
         biphone_in = self._biphone_in
         end_idxs = self._end_idxs
 
@@ -342,8 +364,8 @@ class ViterbiDecoder:
         def body(c):
             t, mxi, k, segs = c
             entry = packed[t, mxi]
-            tri = entry // TIME_PACK
-            t_new = entry % TIME_PACK - 1
+            tri = entry // pack
+            t_new = entry % pack - 1
             segs = segs.at[k].set(
                 jnp.stack([t_new + 1, t + 1, tri]))
             mxi_new = biphone_in[tri]
@@ -379,17 +401,16 @@ class ViterbiDecoder:
             raise ValueError(
                 f"posterior columns {log_probs.shape[1]} != image states "
                 f"{self.image.num_states}")
-        if log_probs.shape[0] >= TIME_PACK:
-            raise ValueError(
-                f"utterance of {log_probs.shape[0]} frames exceeds the "
-                f"packed-backpointer limit {TIME_PACK - 1}; split it")
+        self._time_pack_for(log_probs.shape[0])   # validates the ceiling
         segs, count = self._decode_arrays(
             jnp.asarray(log_probs)[None],
             jnp.asarray([log_probs.shape[0]], dtype=jnp.int32))
         return self._to_results(np.asarray(segs), np.asarray(count))[0]
 
     def _decode_arrays(self, lp, lengths):
-        if self._pallas_fwd is not None:
+        # the Pallas kernel packs with the fixed minimum factor; longer
+        # utterances take the XLA path with a wider dynamic pack
+        if self._pallas_fwd is not None and lp.shape[1] < TIME_PACK - 1:
             packed, end_scores = self._pallas_fwd.forward(lp)
             return self._backtrace_jit(packed, end_scores, lengths)
         return self._decode_jit(lp, lengths)
@@ -405,10 +426,7 @@ class ViterbiDecoder:
         """
         if log_probs.shape[2] != self.image.num_states:
             raise ValueError("posterior/state mismatch")
-        if log_probs.shape[1] >= TIME_PACK:
-            raise ValueError(
-                f"padded length {log_probs.shape[1]} exceeds the packed-"
-                f"backpointer limit {TIME_PACK - 1}; split utterances")
+        self._time_pack_for(log_probs.shape[1])   # validates the ceiling
         segs, counts = self._decode_arrays(
             jnp.asarray(log_probs),
             jnp.asarray(lengths, dtype=jnp.int32))

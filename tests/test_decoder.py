@@ -191,3 +191,30 @@ def test_pallas_rejects_untied_transitions():
     # backend="auto" must silently fall back to the XLA path
     dec = ViterbiDecoder(img, backend="auto")
     assert dec.backend == "xla"
+
+
+def test_viterbi_long_utterance_matches_native(tmp_path):
+    """5000-frame utterance: the dynamic backpointer packing lifts the
+    old 2047-frame cap; segments must still match the native binary."""
+    rng = np.random.default_rng(11)
+    img = make_synthetic_image(num_phones=3, num_states=12, seed=11)
+    T = 5000
+    lp = np.log(rng.dirichlet(np.ones(img.num_states), size=T)
+                ).astype(np.float32)
+    native = _decode_with_native(tmp_path, img, [lp], -20.0, 1.0)
+
+    dec = ViterbiDecoder(img, pip=20.0, lmw=1.0)
+    assert dec.max_frames > T
+    ours = dec.decode_one(lp)
+    theirs = native["utt000"]
+    assert ours.phones == theirs.words
+    assert [b * 100000 for b, _, _ in ours.segments] == theirs.begins
+    assert [e * 100000 for _, e, _ in ours.segments] == theirs.ends
+
+
+def test_viterbi_frame_ceiling_error():
+    img = make_synthetic_image(num_phones=4, num_states=12, seed=0)
+    dec = ViterbiDecoder(img, pip=20.0, lmw=1.0)
+    too_long = dec.max_frames + 10
+    with pytest.raises(ValueError, match="ceiling"):
+        dec._time_pack_for(too_long)

@@ -120,3 +120,19 @@ def test_bigram_lm_estimation(timit_image):
     assert np.isfinite(lm).all()
     # sil-after-sil should be common in TIMIT -> better than uniform
     assert lm[0, 0] > -np.log(48)
+
+
+def test_image_minting_cli(tmp_path):
+    """The image CLI mints a loadable image (with an MLF-estimated LM)
+    whose header matches the in-memory builder."""
+    from nnacousticmodeling_tpu.decoder.graph import main as graph_main
+    from nnacousticmodeling_tpu.decoder.image import load_image
+
+    out = tmp_path / "minted.img"
+    img = graph_main(["--out", str(out),
+                      "--lm-from-mlf", "/root/reference/recog/dev_ref.mlf"])
+    loaded = load_image(str(out))
+    assert loaded.num_phones == 48
+    assert loaded.num_states == 1909
+    assert loaded.num_triphones == img.num_triphones
+    np.testing.assert_allclose(loaded.lm, img.lm, atol=1e-6)
