@@ -7,7 +7,19 @@ followed by the full 1909-pdf triphone-HMM Viterbi decode on the
 regenerated kaldiTri1909-format image — end to end, in-graph, no file
 IPC.
 
-Metric: audio-seconds decoded per wall-clock second per chip.
+Metric: audio-seconds decoded per wall-clock second per chip, for the
+FUSED forward+decode pipeline. The forward runs in bfloat16 when the
+decoded segments are bit-identical to the float32 forward's decode on
+this workload (asserted each run; falls back to f32 otherwise). The
+JSON line also carries the honest breakdown: forward-only f32/bf16,
+decode-only, achieved forward TFLOP/s and MFU vs the chip's dense
+peak.
+
+Measurement notes: the axon tunnel's ``block_until_ready`` returns at
+dispatch-ack, not completion, and the remote executor dedupes
+bit-identical dispatches — so every timed call feeds DIFFERENT data
+and forces completion by fetching a scalar checksum (or the decode
+counts) to the host.
 
 Baseline (``vs_baseline``): the same model + decode run the way the
 reference architecture runs it on this same machine — per-timestep
@@ -17,9 +29,10 @@ the native PhoneRecog binary invoked via subprocess (the reference's
 process boundary). Measured on a subset and scaled per audio-second;
 vs_baseline = ours / reference_style (higher is better).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
 
+import dataclasses
 import json
 import os
 import subprocess
@@ -60,10 +73,14 @@ FRAMES_PER_UTT = 400          # ~4 s of audio at 100 fps
 DIM = 40
 BUCKET = 512
 BATCH = 128
+TIMING_ROUNDS = 3
 BASELINE_UTTS = 2
 BASELINE_MAX_FRAMES = 120   # per-timestep loop measured on a slice and
                             # scaled per audio-second (tunnel dispatch is
                             # the baseline's bottleneck by design)
+
+# dense peak TFLOP/s per chip for MFU estimates
+PEAKS = {"v5e": {"bf16": 197.0, "f32": 49.2}}
 
 
 def get_image():
@@ -78,76 +95,123 @@ def get_image():
     return img
 
 
-def make_data(rng):
+def make_feeds(rng, n_feeds):
+    """n_feeds distinct (BATCH, BUCKET, DIM) input batches + lengths."""
     lengths = rng.integers(int(FRAMES_PER_UTT * 0.8),
-                           int(FRAMES_PER_UTT * 1.2), NUM_UTTS)
-    x = rng.standard_normal((int(lengths.sum()), DIM)).astype(np.float32)
-    offsets = np.zeros(NUM_UTTS + 1, dtype=np.int64)
-    np.cumsum(lengths, out=offsets[1:])
-    return x, offsets, lengths
+                           int(FRAMES_PER_UTT * 1.2), BATCH)
+    feeds = [jnp.asarray(rng.standard_normal(
+        (BATCH, BUCKET, DIM)).astype(np.float32)) for _ in range(n_feeds)]
+    return feeds, lengths
+
+
+def timed(run, feeds, rounds=TIMING_ROUNDS):
+    """Average seconds per call; every call gets different data and
+    must itself force completion (fetch something)."""
+    run(feeds[-1])                      # warmup/compile
+    t0 = time.time()
+    for i in range(rounds):
+        run(feeds[i % len(feeds)])
+    return (time.time() - t0) / rounds
 
 
 def main():
-    t_setup = time.time()
     from nnacousticmodeling_tpu.models import get_network
+    from nnacousticmodeling_tpu.models.precision import cast_params
     from nnacousticmodeling_tpu.decoder.viterbi import ViterbiDecoder
     from nnacousticmodeling_tpu.ops.numerics import log_softmax
     from nnacousticmodeling_tpu.io import save_bin
 
     platform = jax.devices()[0].platform
-    log(f"platform={platform}")
+    kind = jax.devices()[0].device_kind if platform == "tpu" else platform
+    log(f"platform={platform} kind={kind}")
     rng = np.random.default_rng(0)
     img = get_image()
-    x, offsets, lengths = make_data(rng)
+    feeds, lengths = make_feeds(rng, 3)
+    lens = jnp.asarray(lengths.astype(np.int32))
     total_audio_s = float(lengths.sum()) / 100.0
 
     log("image + data ready")
     net = get_network("lstm", layers=4, units=[1024], num_classes=1909)
+    net = dataclasses.replace(net, scan_unroll=8)
     params = net.init(jax.random.PRNGKey(0), DIM)
+    params_bf = cast_params(params)
     log("params init")
 
     dec = ViterbiDecoder(img, pip=20.0, lmw=1.0)
+    log(f"decoder backend: {dec.backend}")
 
-    # forward and decode as two cached jitted programs (one fused
-    # program compiles pathologically slowly on the remote-compile
-    # tunnel); posteriors stay on device between the two.
     @jax.jit
-    def forward(p, xs):
-        logits, _ = net.apply_sequence(p, xs)
-        return log_softmax(logits, axis=-1)
+    def fwd_f32(p, xs):
+        y, _ = net.apply_sequence(p, xs)
+        return log_softmax(y, axis=-1)
 
-    # pack utterances into fixed (BATCH, BUCKET, DIM) buckets
-    batches = []
-    for beg in range(0, NUM_UTTS, BATCH):
-        ids = np.arange(beg, min(beg + BATCH, NUM_UTTS))
-        xb = np.zeros((BATCH, BUCKET, DIM), dtype=np.float32)
-        for row, u in enumerate(ids):
-            xb[row, :lengths[u]] = x[offsets[u]:offsets[u + 1]]
-        batches.append((jnp.asarray(xb),
-                        jnp.asarray([int(lengths[u]) for u in ids],
-                                    dtype=jnp.int32)))
+    @jax.jit
+    def fwd_bf16(p, xs):
+        y, _ = net.apply_sequence(p, xs.astype(jnp.bfloat16))
+        return log_softmax(y.astype(jnp.float32), axis=-1)
 
-    def run_ours():
-        results = []
-        for xb, lens in batches:
-            lp = forward(params, xb)
-            results.extend(dec.decode_batch(lp, lens))
-        return results
+    @jax.jit
+    def checksum(y):
+        return y[:, -1].sum()
 
-    # warmup (compile both stages)
-    log("warmup forward+decode...")
-    run_ours()
-    log("warmup done; timing...")
+    # ---- forward-only ---------------------------------------------------
+    t_f32 = timed(lambda x: float(checksum(fwd_f32(params, x))), feeds)
+    log(f"forward f32: {t_f32 * 1000:.0f} ms -> "
+        f"{total_audio_s / t_f32:.0f} audio-s/s")
+    t_bf16 = timed(lambda x: float(checksum(fwd_bf16(params_bf, x))), feeds)
+    log(f"forward bf16: {t_bf16 * 1000:.0f} ms -> "
+        f"{total_audio_s / t_bf16:.0f} audio-s/s")
+
+    # ---- decode-only ----------------------------------------------------
+    lps = [fwd_f32(params, x) for x in feeds]
+
+    def decode_counts(lp):
+        segs, counts = dec._decode_arrays(lp, lens)
+        return int(np.asarray(counts).sum())
+
+    t_dec = timed(decode_counts, lps)
+    log(f"decode: {t_dec * 1000:.0f} ms -> "
+        f"{total_audio_s / t_dec:.0f} audio-s/s")
+
+    # ---- bf16 parity gate on decoded segments ---------------------------
+    r32 = dec.decode_batch(lps[0], lens)
+    r16 = dec.decode_batch(fwd_bf16(params_bf, feeds[0]), lens)
+    bf16_parity = all(a.segments == b.segments for a, b in zip(r32, r16))
+    log(f"bf16 decoded-segment parity: {bf16_parity}")
+    fwd = fwd_bf16 if bf16_parity else fwd_f32
+    fparams = params_bf if bf16_parity else params
+
+    # ---- fused end-to-end pipeline (the reported metric) ----------------
+    def pipeline(x):
+        lp = fwd(fparams, x)
+        return dec.decode_batch(lp, lens)     # includes host fetch of segs
+
+    pipeline(feeds[-1])
     t0 = time.time()
-    results = run_ours()
-    ours_elapsed = time.time() - t0
-    ours_tput = total_audio_s / ours_elapsed
-    log(f"ours: {ours_tput:.1f} audio-s/s ({ours_elapsed:.2f}s for {total_audio_s:.0f} audio-s)")
-    assert len(results) == NUM_UTTS and all(len(r.segments) > 0 for r in results)
+    results = None
+    for i in range(TIMING_ROUNDS):
+        results = pipeline(feeds[i % len(feeds)])
+    fused_elapsed = (time.time() - t0) / TIMING_ROUNDS
+    ours_tput = total_audio_s / fused_elapsed
+    log(f"fused: {ours_tput:.1f} audio-s/s "
+        f"({fused_elapsed:.2f}s for {total_audio_s:.0f} audio-s)")
+    assert len(results) == BATCH and all(len(r.segments) > 0 for r in results)
+
+    # ---- MFU ------------------------------------------------------------
+    def layer_flops(in_dim):
+        return 2 * (in_dim * 4096 + 1024 * 4096)
+    flops_frame = (layer_flops(DIM) + 3 * layer_flops(1024)
+                   + 2 * 1024 * 1909)
+    frames = BATCH * BUCKET
+    tf_f32 = flops_frame * frames / t_f32 / 1e12
+    tf_bf16 = flops_frame * frames / t_bf16 / 1e12
+    peaks = PEAKS.get("v5e" if "v5" in str(kind) else "v5e")
+    mfu = tf_bf16 / peaks["bf16"] if bf16_parity else tf_f32 / peaks["f32"]
 
     # ---- reference-style baseline on a subset -------------------------
     # per-timestep loop with a host->device transfer per step (the
     # Chainer predict loop), .lab file IPC, native decoder subprocess
+    x0 = np.asarray(feeds[0])
     base_ids = list(range(BASELINE_UTTS))
     base_audio_s = float(sum(min(int(lengths[u]), BASELINE_MAX_FRAMES)
                              for u in base_ids)) / 100.0
@@ -158,14 +222,10 @@ def main():
 
     def run_baseline(workdir):
         tmax = min(max(int(lengths[u]) for u in base_ids), BASELINE_MAX_FRAMES)
-        xb = np.zeros((len(base_ids), tmax, DIM), dtype=np.float32)
-        for row, u in enumerate(base_ids):
-            l = min(int(lengths[u]), tmax)
-            xb[row, :l] = x[offsets[u]:offsets[u] + l]
         state = net.init_state(len(base_ids))
         outs = np.zeros((len(base_ids), tmax, 1909), dtype=np.float32)
         for t in range(tmax):
-            x_t = jnp.asarray(xb[:, t, :])          # host->device per step
+            x_t = jnp.asarray(x0[base_ids, t, :])   # host->device per step
             state, y = step_fn(params, state, x_t)
             y = np.asarray(y)                        # device->host per step
             y = y - y.max(1, keepdims=True)
@@ -200,6 +260,15 @@ def main():
         "value": round(ours_tput, 2),
         "unit": "audio-s/s/chip",
         "vs_baseline": round(ours_tput / base_tput, 2),
+        "forward_f32_audio_s_per_s": round(total_audio_s / t_f32, 1),
+        "forward_bf16_audio_s_per_s": round(total_audio_s / t_bf16, 1),
+        "decode_audio_s_per_s": round(total_audio_s / t_dec, 1),
+        "forward_dtype": "bfloat16" if bf16_parity else "float32",
+        "bf16_segment_parity": bf16_parity,
+        "forward_tflops_f32": round(tf_f32, 1),
+        "forward_tflops_bf16": round(tf_bf16, 1),
+        "forward_mfu": round(mfu, 3),
+        "decoder_backend": dec.backend,
     }))
 
 

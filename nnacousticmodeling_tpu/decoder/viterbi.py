@@ -411,7 +411,7 @@ class ViterbiDecoder:
         # the Pallas kernel packs with the fixed minimum factor; longer
         # utterances take the XLA path with a wider dynamic pack
         if self._pallas_fwd is not None and lp.shape[1] < TIME_PACK - 1:
-            packed, end_scores = self._pallas_fwd.forward(lp)
+            packed, end_scores = self._pallas_fwd.forward(lp, lengths)
             return self._backtrace_jit(packed, end_scores, lengths)
         return self._decode_jit(lp, lengths)
 

@@ -169,13 +169,14 @@ class PallasCubeViterbi:
         self._fwd = jax.jit(self._forward_impl)
 
     # ------------------------------------------------------------------
-    def _kernel(self, vals_ref, selp_ref, tpv_ref, e_ref, f_ref,
+    def _kernel(self, lens_ref, vals_ref, selp_ref, tpv_ref, e_ref, f_ref,
                 eend_ref, lm_ref, p0_ref, tbase_ref,
                 packed_ref, end_ref, pp_ref, tt_ref, pc_ref, tps_ref):
         P, B, K, bits = self.P, self.B, self.K, self._bits
         chunk = self.chunk
         mask = (1 << bits) - 1
         pip = jnp.float32(self._pip)
+        u = pl.program_id(0)
         ch = pl.program_id(1)
 
         def sel_s(s):
@@ -255,10 +256,15 @@ class PallasCubeViterbi:
             end_ref[0, pl.ds(i, 1), :] = _dot(pnew, eend_ref[:])
             return 0
 
-        jax.lax.fori_loop(0, chunk, frame, 0)
+        # skip chunks entirely past this utterance's last frame: the
+        # backtrace never reads packed/end rows at t >= length, so the
+        # ~20-30% of bucket-padding frames cost nothing
+        @pl.when(ch * chunk < lens_ref[u])
+        def _run():
+            jax.lax.fori_loop(0, chunk, frame, 0)
 
     # ------------------------------------------------------------------
-    def _forward_impl(self, lp: jax.Array
+    def _forward_impl(self, lp: jax.Array, lengths: jax.Array
                       ) -> Tuple[jax.Array, jax.Array]:
         P, B, K, chunk = self.P, self.B, self.K, self.chunk
         U, T, S = lp.shape
@@ -270,49 +276,58 @@ class PallasCubeViterbi:
                         indices_are_sorted=False, unique_indices=False)
         vals = vals.reshape(U, Tp, 3 * K, P)
 
-        const = lambda u, c: (0, 0)
+        const = lambda u, c, lens: (0, 0)
         packed, end = pl.pallas_call(
             self._kernel,
-            grid=(U, Tp // chunk),
-            in_specs=[
-                pl.BlockSpec((1, chunk, 3 * K, P),
-                             lambda u, c: (u, c, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((P, B), const, memory_space=pltpu.VMEM),
-                pl.BlockSpec((6 * K, P), const, memory_space=pltpu.VMEM),
-                pl.BlockSpec((P, B), const, memory_space=pltpu.VMEM),
-                pl.BlockSpec((B, P), const, memory_space=pltpu.VMEM),
-                pl.BlockSpec((B, P), const, memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, B), const, memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, B), const, memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, B), const, memory_space=pltpu.VMEM),
-            ],
-            out_specs=[
-                pl.BlockSpec((1, chunk, B), lambda u, c: (u, c, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, chunk, P), lambda u, c: (u, c, 0),
-                             memory_space=pltpu.VMEM),
-            ],
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(U, Tp // chunk),
+                in_specs=[
+                    pl.BlockSpec((1, chunk, 3 * K, P),
+                                 lambda u, c, lens: (u, c, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((P, B), const, memory_space=pltpu.VMEM),
+                    pl.BlockSpec((6 * K, P), const, memory_space=pltpu.VMEM),
+                    pl.BlockSpec((P, B), const, memory_space=pltpu.VMEM),
+                    pl.BlockSpec((B, P), const, memory_space=pltpu.VMEM),
+                    pl.BlockSpec((B, P), const, memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, B), const, memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, B), const, memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, B), const, memory_space=pltpu.VMEM),
+                ],
+                out_specs=[
+                    pl.BlockSpec((1, chunk, B), lambda u, c, lens: (u, c, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, chunk, P), lambda u, c, lens: (u, c, 0),
+                                 memory_space=pltpu.VMEM),
+                ],
+                scratch_shapes=[
+                    pltpu.VMEM((3, P, B), jnp.float32),   # pp
+                    pltpu.VMEM((3, P, B), jnp.int32),     # tt
+                    pltpu.VMEM((1, B), jnp.float32),      # biphone scores
+                    pltpu.VMEM((6, P, B), jnp.float32),   # tied transitions
+                ],
+            ),
             out_shape=[
                 jax.ShapeDtypeStruct((U, Tp, B), jnp.int32),
                 jax.ShapeDtypeStruct((U, Tp, P), jnp.float32),
-            ],
-            scratch_shapes=[
-                pltpu.VMEM((3, P, B), jnp.float32),   # pp
-                pltpu.VMEM((3, P, B), jnp.int32),     # tt
-                pltpu.VMEM((1, B), jnp.float32),      # biphone scores
-                pltpu.VMEM((6, P, B), jnp.float32),   # tied transitions
             ],
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("arbitrary", "arbitrary"),
             ),
             interpret=self.interpret,
-        )(vals, self._sel_packed, self._tpv, self._E, self._F,
-          self._E_end, self._lm, self._p0, self._tri_base)
+        )(jnp.asarray(lengths, jnp.int32), vals, self._sel_packed,
+          self._tpv, self._E, self._F, self._E_end, self._lm, self._p0,
+          self._tri_base)
         return packed[:, :T], end[:, :T]
 
-    def forward(self, lp: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    def forward(self, lp: jax.Array, lengths=None
+                ) -> Tuple[jax.Array, jax.Array]:
         """(U, T, S) log-posteriors -> packed bptrs (U, T, B) int32 and
         end-biphone scores (U, T, P) float32, identical to the XLA
-        path's per-frame scan outputs."""
-        return self._fwd(lp)
+        path's per-frame scan outputs for every frame t < lengths[u]
+        (rows at or past an utterance's length are skipped — the
+        backtrace never reads them). ``lengths`` defaults to T."""
+        if lengths is None:
+            lengths = jnp.full((lp.shape[0],), lp.shape[1], jnp.int32)
+        return self._fwd(lp, jnp.asarray(lengths, jnp.int32))

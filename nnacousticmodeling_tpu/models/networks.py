@@ -196,6 +196,10 @@ class _RecurrentStack:
     # every recurrent layer; ZoneoutLSTM overrides both off)
     input_dropout_rate: float = 0.0
     layer_dropout_rate: float = 0.0
+    #: lax.scan unroll factor for the sequence runners — amortizes
+    #: per-step dispatch on TPU (numerics unchanged); settable via
+    #: ``dataclasses.replace`` for inference-heavy paths
+    scan_unroll: int = 1
 
     def init(self, key, in_dim):
         keys = _split(key, self.layers + 1)
@@ -247,7 +251,8 @@ class _RecurrentStack:
                 k = k if rng is not None else None
                 return self._cell_step(_lp, carry, x_proj, k, train)
 
-            carry, hs = jax.lax.scan(scan_fn, state[l], (proj, step_keys))
+            carry, hs = jax.lax.scan(scan_fn, state[l], (proj, step_keys),
+                                     unroll=self.scan_unroll)
             new_state.append(carry)
             xs = dropout(keys[l + 1], hs.transpose(1, 0, 2),
                          self.layer_dropout_rate, train)       # (B, T, H)

@@ -8,6 +8,15 @@ the Kaldi conventions those features were made with: 25 ms / 10 ms
 frames at 16 kHz, preemphasis 0.97, Povey window, 40 mel bins, 13
 cepstra.
 
+Convention fine print (verified by tests/test_features.py golden
+oracles): framing (snip-edges), per-frame preemphasis with the
+first-sample self-subtraction, the Povey window (hann^0.85), and the
+float32-epsilon log floor follow Kaldi; the mel triangles use HTK-style
+integer FFT-bin snapping (floor((nfft+1)·f/sr)) rather than Kaldi's
+continuous mel-domain weights, there is no dither, and DC offset is not
+removed — deterministic, simpler, and within the normalization noise
+the pipeline's AddShift/Rescale absorbs.
+
 Two implementations with identical outputs:
 
 * ``fbank`` — pure jnp (framing gather + window + DFT-as-matmul +

@@ -33,6 +33,10 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--early-stopping", type=str2bool, nargs="+",
                         default=[True])
     parser.add_argument("--bproplen", type=int, default=20)
+    parser.add_argument("--shuffle-sequences", action="store_true",
+                        help="sentence-level shuffling with stream batch "
+                             "layout even for feed-forward nets "
+                             "(the reference's flag, train.py:49,307)")
     parser.add_argument("--dtype", choices=["float32", "bfloat16"],
                         default="float32",
                         help="compute dtype for forward/backward; master "
@@ -206,7 +210,7 @@ def main(arg_list=None):
         else:
             x = np.load(str(Path(args.data_dir, args.data.format("train"))))
             y = np.load(str(Path(args.target_dir, args.targets.format("train"))))
-            if recurrent:
+            if recurrent or args.shuffle_sequences:
                 offsets = np.load(str(Path(args.offset_dir,
                                            args.offsets.format("train"))))
             if args.ivector_dir is not None:
@@ -253,7 +257,8 @@ def main(arg_list=None):
                          compute_dtype=args.dtype,
                          mesh=engine_mesh,
                          model_axis=model_axis if engine_mesh is not None
-                         else None)
+                         else None,
+                         shuffle_sequences=args.shuffle_sequences)
 
     if args.train_all_folds:
         # all K fold networks as one vmapped (optionally fold-sharded)

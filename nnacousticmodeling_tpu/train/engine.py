@@ -68,6 +68,11 @@ class TrainConfig:
     mesh: Any = None
     data_axis: str = "data"
     model_axis: Optional[str] = None
+    # the reference's --shuffle-sequences flag (train.py:49,307) also
+    # applies the whole-sentence stream layout to FEED-FORWARD nets:
+    # each minibatch takes one frame from each of B streams over the
+    # sentence-shuffled corpus instead of an iid frame permutation
+    shuffle_sequences: bool = False
 
 
 @dataclass
@@ -249,7 +254,8 @@ def train_network(
         else:
             run_epoch, evaluate = _make_ff_stage(
                 net, opt, xd, yd, config, bs,
-                (xvd, yvd) if use_val else None, apply_fn, eval_cache)
+                (xvd, yvd) if use_val else None, apply_fn, eval_cache,
+                offsets=offsets)
             state = None
 
         best_val = None
@@ -336,7 +342,7 @@ def train_network(
 # ---------------------------------------------------------------------------
 
 def _make_ff_stage(net, opt, xd, yd, config, bs, val, apply_fn,
-                   eval_cache=None):
+                   eval_cache=None, offsets=None):
     apply = apply_fn or (lambda p, xb, rng, train: net.apply(
         p, xb, rng=rng, train=train))
     apply = _mixed_apply(_compute_dtype(config), apply)
@@ -360,11 +366,21 @@ def _make_ff_stage(net, opt, xd, yd, config, bs, val, apply_fn,
     steps = max(n // bs, 1)
 
     def run_epoch(params, opt_state, key, rng_np):
-        perm = rng_np.permutation(n)
+        if config.shuffle_sequences:
+            # reference --shuffle-sequences on FF nets: B streams over
+            # the sentence-shuffled corpus, one frame each per batch
+            shuffled = sentence_shuffle_indices(offsets, n, rng_np)
+            perm = None
+        else:
+            perm = rng_np.permutation(n)
         losses, accs = [], []
         for s in range(steps):
             key, sk = jax.random.split(key)
-            idx = jnp.asarray(perm[s * bs:(s + 1) * bs])
+            if perm is None:
+                idx = jnp.asarray(
+                    stream_batch_indices(shuffled, bs, s, 1).reshape(-1))
+            else:
+                idx = jnp.asarray(perm[s * bs:(s + 1) * bs])
             params, opt_state, loss, acc = update(params, opt_state, idx, sk,
                                                   xd, yd)
             losses.append(loss)

@@ -174,6 +174,15 @@ def test_pallas_cube_matches_xla_forward(order_seed):
     np.testing.assert_array_equal(np.asarray(got_packed),
                                   np.asarray(want_packed))
     np.testing.assert_array_equal(np.asarray(got_end), np.asarray(want_end))
+    # with real lengths the kernel skips whole chunks past each
+    # utterance's end; rows within the length must still match exactly
+    got_packed_l, got_end_l = pal._pallas_fwd.forward(
+        jnp.asarray(lp), jnp.asarray(lens))
+    for u, l in enumerate(lens):
+        np.testing.assert_array_equal(np.asarray(got_packed_l)[u, :l],
+                                      np.asarray(want_packed)[u, :l])
+        np.testing.assert_array_equal(np.asarray(got_end_l)[u, :l],
+                                      np.asarray(want_end)[u, :l])
     # and the full decode agrees segment-for-segment
     a = xla.decode_batch(lp, lens)
     b = pal.decode_batch(lp, lens)

@@ -278,3 +278,21 @@ def test_bad_compute_dtype_rejected(syn):
         seed=0, log=None, compute_dtype="float16")
     with pytest.raises(ValueError, match="unsupported compute dtype"):
         train_network(net, corpus.train.data, corpus.train.targets, cfg)
+
+
+def test_ff_shuffle_sequences_learns(syn):
+    """The reference's --shuffle-sequences flag on FF nets: stream
+    batch layout over the sentence-shuffled corpus (train.py:49,307);
+    training still converges."""
+    _, corpus = syn
+    c = corpus.train
+    net = get_network("ff", 1, [32], 16)
+    cfg = TrainConfig(
+        stages=[TrainStage(epoch=8, optimizer="adam", batch_size=32,
+                           lr=1e-3, early_stopping=False)],
+        seed=0, log=None, use_validation=False, shuffle_sequences=True)
+    res = train_network(net, c.data, c.targets, cfg, offsets=c.offsets)
+    logits = np.asarray(net.apply(res.params, c.data))
+    acc = (logits.argmax(-1) == c.targets).mean()
+    assert acc > 0.3, acc
+    assert res.history[-1]["main/loss"] < res.history[0]["main/loss"]
