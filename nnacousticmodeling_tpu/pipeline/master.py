@@ -77,6 +77,12 @@ def build_parser():
     parser.add_argument("--eval-data", nargs="+", default=["test"])
     parser.add_argument("--num-classes", type=int, default=None,
                         help="explicit class count forwarded to all phases")
+    parser.add_argument("--tri", action="store_true",
+                        help="accepted for shell-surface compatibility; the "
+                             "master pipeline always runs its phases in "
+                             "triphone (1909-class) mode, exactly like the "
+                             "reference (master_script.py:103,137,177), so "
+                             "this flag is implied")
     parser.add_argument("--fold-parallel", action="store_true",
                         help="train all K fold networks simultaneously as "
                              "one vmapped program (train_cli "

@@ -26,7 +26,7 @@ from ..decoder.image import make_synthetic_image, save_image
 from ..utils.synthetic import make_synthetic_corpus, write_corpus_tree
 
 
-def main(arg_list=None):
+def build_parser():
     parser = argparse.ArgumentParser(description="Generate synthetic corpus")
     parser.add_argument("--root", required=True)
     parser.add_argument("--timit-graph", action="store_true",
@@ -40,6 +40,11 @@ def main(arg_list=None):
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--ivector-dim", type=int, default=0,
                         help="generate speaker i-vectors of this dim")
+    return parser
+
+
+def main(arg_list=None):
+    parser = build_parser()
     args = parser.parse_args(list(map(str, arg_list)) if arg_list is not None
                              else None)
 
