@@ -182,9 +182,23 @@ def main():
     fparams = params_bf if bf16_parity else params
 
     # ---- fused end-to-end pipeline (the reported metric) ----------------
+    # forward + in-graph Viterbi + backtrace as ONE compiled program:
+    # single dispatch, no host round-trip for the (B, T, 1909) posteriors
+    decode_arrays = dec.decode_arrays_fn()
+
+    @jax.jit
+    def fused_fn(p, x):
+        if bf16_parity:
+            y, _ = net.apply_sequence(p, x.astype(jnp.bfloat16))
+            lp = log_softmax(y.astype(jnp.float32), axis=-1)
+        else:
+            y, _ = net.apply_sequence(p, x)
+            lp = log_softmax(y, axis=-1)
+        return decode_arrays(lp, lens)
+
     def pipeline(x):
-        lp = fwd(fparams, x)
-        return dec.decode_batch(lp, lens)     # includes host fetch of segs
+        segs, counts = fused_fn(fparams, x)
+        return dec._to_results(np.asarray(segs), np.asarray(counts))
 
     pipeline(feeds[-1])
     t0 = time.time()

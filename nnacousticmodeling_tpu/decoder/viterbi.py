@@ -121,7 +121,21 @@ class ViterbiDecoder:
                 except UnsupportedImage:
                     if backend == "pallas":
                         raise
-        self._backtrace_jit = jax.jit(jax.vmap(self._device_backtrace))
+        self._backtrace_jit = jax.jit(jax.vmap(self._pallas_backtrace))
+
+    def _pallas_backtrace(self, packed, end_scores, length):
+        """Backtrace over the Pallas kernel's permuted-lane packed
+        backpointers (maps built in ``PallasCubeViterbi.__init__``)."""
+        return self._device_backtrace(
+            packed, end_scores, length,
+            end_map=self._pallas_fwd.end_lane,
+            bi_map=self._pallas_fwd.bi_in_lane)
+
+    def _pallas_decode_traced(self, lp, lengths):
+        """Jit-composable Pallas forward + backtrace (one program)."""
+        packed, end_scores = self._pallas_fwd.forward_traced(lp, lengths)
+        return jax.vmap(self._pallas_backtrace)(packed, end_scores,
+                                                lengths)
 
     def _build_cube_obs_tables(self):
         """Tied-pdf observation tables for the cube fast path.
@@ -341,16 +355,21 @@ class ViterbiDecoder:
         return packed, end_scores
 
     # ------------------------------------------------------------------
-    def _device_backtrace(self, packed, end_scores, length):
+    def _device_backtrace(self, packed, end_scores, length,
+                          end_map=None, bi_map=None):
         """On-device backtrace (C++ :224-244 as a lax.while_loop).
 
         Returns segs (T, 3) int32 [begin, end, triphone] filled from
-        index 0 = LAST segment, and the segment count.
+        index 0 = LAST segment, and the segment count.  ``end_map`` /
+        ``bi_map`` translate (end-phone -> packed lane) and
+        (triphone -> predecessor packed lane); they default to the
+        original biphone indexing used by the XLA scan path, while the
+        Pallas kernel supplies its permuted-lane maps.
         """
         T = packed.shape[0]
         pack = self._time_pack_for(T)
-        biphone_in = self._biphone_in
-        end_idxs = self._end_idxs
+        biphone_in = self._biphone_in if bi_map is None else bi_map
+        end_idxs = self._end_idxs if end_map is None else end_map
 
         last = end_scores[length - 1]                    # (P,)
         mxi0 = end_idxs[jnp.argmax(last)]                # first max wins
@@ -414,6 +433,19 @@ class ViterbiDecoder:
             packed, end_scores = self._pallas_fwd.forward(lp, lengths)
             return self._backtrace_jit(packed, end_scores, lengths)
         return self._decode_jit(lp, lengths)
+
+    def decode_arrays_fn(self):
+        """Jit-composable ``(lp (U,T,S), lengths (U,)) -> (segs, counts)``
+        using the fastest available backend — compose it with the
+        acoustic forward under ONE ``jax.jit`` so the fused pipeline
+        pays a single dispatch and never materializes the (U, T, S)
+        posterior round-trip on the host side."""
+        def fn(lp, lengths):
+            lengths = jnp.asarray(lengths, jnp.int32)
+            if self._pallas_fwd is not None and lp.shape[1] < TIME_PACK - 1:
+                return self._pallas_decode_traced(lp, lengths)
+            return jax.vmap(self._decode_device)(lp, lengths)
+        return fn
 
     def decode_batch(self, log_probs, lengths: Sequence[int]
                      ) -> List[DecodeResult]:

@@ -2,43 +2,59 @@
 
 The XLA ``lax.scan`` cube path (``viterbi.py::_forward_scan_cube``) is
 HBM-bound: the (P, P, P, 3) score/backpointer carries round-trip to HBM
-on every frame (~5 MB/frame/utterance of carry traffic alone).  This
-kernel keeps the whole DP state VMEM-resident for the entire utterance
-and streams only the per-frame observation table in and the packed
-backpointer rows out, so HBM traffic drops from O(state x frames) to
-O(posteriors + backpointers) -- the decode becomes VPU-bound.
+on every frame.  This kernel keeps the whole DP state VMEM-resident for
+the entire utterance and streams only the per-frame observation table
+in and the packed backpointer rows out.
 
-Layout (the TPU-native redesign of ``phone_recog.cpp:138-216``):
+Layout — the TPU-native redesign of ``phone_recog.cpp:138-216``, chosen
+so that every per-frame data movement is either a hardware sublane
+gather or a free lane-tiling, with exactly ONE small matmul left:
 
-* DP state lives as (3 states, P sublanes = left context, P^2 lanes =
-  center*P + right).  The lane axis is the out-biphone index, so the
-  per-biphone export (max over feeding triphones, C++ CSR loop at
-  phone_recog.cpp:198-212) is a plain sublane reduction, and the lane
-  vector of exported scores IS the next frame's biphone score row.
-* Observations use the tied-pdf tables (each (center, state) touches
-  <= K distinct pdfs): the (T, 3K, P) table of distinct-pdf scores is
-  gathered once in XLA, broadcast to lanes with a one-hot matmul, and
-  expanded with a K-step select loop -- no in-kernel gathers.
-* Every cross-lane rearrangement (biphone row -> entry matrix, end-
-  biphone extraction, lane broadcast) is a one-hot f32 matmul at
-  ``Precision.HIGHEST``, which is bit-exact (exactly one nonzero term
-  per output), so scores match the XLA path and the native decoder
-  float-for-float.
+* DP state lives as (3 states, P sublanes = left context, P^2 lanes)
+  with the lane axis in RIGHT-MAJOR biphone order: triphone (a, b, c)
+  sits at [sublane a, lane c*P + b], which IS its out-biphone (b, c)
+  at lane c*P + b.  The per-biphone export (max over feeding
+  triphones, C++ CSR loop at phone_recog.cpp:198-212) is a plain
+  sublane reduction, and the exported lane row is the next frame's
+  biphone score row in place.
+* Observations use the tied-pdf tables: each (center, state) touches
+  <= K distinct pdfs (TIMIT: mean 13.7, max 35).  The (T, 3*K8, P)
+  table of distinct-pdf scores is gathered once in XLA; in-kernel it
+  broadcasts to lanes by ``pltpu.repeat`` (lane j holds center
+  j % P — free tiling, no matmul), and the class expansion splits the
+  class index into (group = k//8, slot = k%8) and runs ONE hardware
+  sublane ``dynamic_gather`` per (state, group, 8-row band) at full
+  lane width (~0.5 ns/vreg on v5e), overlaid by group.  This replaces
+  the former K-step compare-select loop (~3 VPU passes per class)
+  that dominated decode time.
+* The phone-entry scores need the previous row rearranged from lane
+  (a, b) = b*P + a to [sublane a, every lane with center b]: one
+  one-hot matmul builds q[a, b] = p[b*P + a] (exact: single nonzero
+  term per output, ``Precision.HIGHEST``), and ``pltpu.repeat`` tiles
+  q across the right-context — the second rearrangement matmul of the
+  earlier design is gone.
+* End-biphone scores are a STATIC LANE SLICE when the image ends every
+  phone in the same right context (the TIMIT graph's (p, sil) rule):
+  in right-major order those are lanes [sil*P, sil*P + P).  Irregular
+  images fall back to a one-hot extraction matmul.
 * Kaldi ties transition probs to the pdf (one transition-state per
-  (phone, hmm-state, pdf)), so the per-class self/forward log-probs are
-  selected into VMEM once per utterance, not per frame; images whose
-  transitions break this tying raise ``UnsupportedImage`` and fall back
-  to the XLA path.
+  (phone, hmm-state, pdf)), so the six per-(state, kind) transition
+  log-prob planes are fully host-precomputed and DMA'd once; images
+  whose transitions break this tying raise ``UnsupportedImage`` and
+  fall back to the XLA path.
 
 Outputs are the same packed backpointers (``tri * TIME_PACK +
 entry_time + 1``) and per-frame end-biphone scores the XLA path
-produces; the on-device backtrace in ``viterbi.py`` consumes both
-unchanged.
+produces, except that the backpointer lane axis is right-major — the
+``end_lane``/``bi_in_lane`` attributes give the backtrace the
+original-id -> lane maps, and ``lane_map`` converts whole rows for
+tests.  Scores are float-for-float identical to the XLA path and the
+native decoder: gathers and tilings move bits, and the single matmul
+is a one-hot contraction.
 """
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Tuple
 
 import jax
@@ -63,6 +79,10 @@ def _dot(a, b):
                                precision=_HIGHEST)
 
 
+def _ceil(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
 class PallasCubeViterbi:
     """Forward token passing for dense full-context cube images.
 
@@ -70,8 +90,9 @@ class PallasCubeViterbi:
     (``cube_order`` as detected by ``ViterbiDecoder._detect_cube_order``:
     'bac' for the graph builder's ``idx = b*P^2 + a*P + c``, 'abc' for
     the synthetic builder).  ``forward(lp)`` maps a padded posterior
-    batch (U, T, S) to packed backpointers (U, T, B) int32 and end
-    scores (U, T, P) float32.
+    batch (U, T, S) to packed backpointers (U, T, B) int32 (lane axis
+    right-major — see ``end_lane``/``bi_in_lane``/``lane_map``) and end
+    scores (U, T, P) float32 in original phone order.
     """
 
     def __init__(self, image, cube_order: str, pip: float, lmw: float,
@@ -82,7 +103,13 @@ class PallasCubeViterbi:
             raise UnsupportedImage("not a dense cube image")
         if image.num_triphones * TIME_PACK >= 2 ** 31:
             raise UnsupportedImage("triphone count too large to pack")
+        if not interpret and B % 128 != 0:
+            # the in-kernel sublane gathers need lane-tile-aligned
+            # widths; tiny (synthetic) images fall back to the XLA path
+            raise UnsupportedImage("biphone count not lane-tile aligned")
         self.P, self.B, self.S = P, B, image.num_states
+        self.PS = _ceil(P, 8)
+        PS = self.PS
         self.chunk = chunk
         self.interpret = interpret
 
@@ -95,127 +122,156 @@ class PallasCubeViterbi:
             return cube
 
         pdf = to_lcr(image.state_idxs)            # (l, c, r, 3)
-        tps = to_lcr(image.tp_selfloop)
-        tpt = to_lcr(image.tp_transition)
+        tps_c = to_lcr(image.tp_selfloop)
+        tpt_c = to_lcr(image.tp_transition)
 
-        # --- tied-pdf tables per (center, state) -----------------------
-        k_max = 0
+        # --- tied-pdf classes per (center, state) ----------------------
         per = {}
+        k_max = 0
         for b in range(P):
             for s in range(3):
-                # pdf over the (left, right) plane for this center/state
-                plane = pdf[:, b, :, s]
+                plane = pdf[:, b, :, s]           # (left, right)
                 distinct, inverse = np.unique(plane, return_inverse=True)
                 per[(b, s)] = (distinct, inverse.reshape(P, P))
                 k_max = max(k_max, len(distinct))
-        K = k_max
-        bits = max(1, int(K - 1).bit_length()) if K > 1 else 1
-        if 3 * bits > 31:
-            raise UnsupportedImage("too many pdf classes to pack")
-        self.K, self._bits = K, bits
+        K8 = _ceil(max(k_max, 1), 8)
+        G = K8 // 8
+        self.K8, self.G = K8, G
 
-        table = np.zeros((P, 3, K), dtype=np.int32)
-        sel = np.zeros((3, P, B), dtype=np.int32)   # (s, left, c*P+r)
-        tpv = np.zeros((6, K, P), dtype=np.float32)  # [self*3, trans*3]
-        for (b, s), (distinct, inverse) in per.items():
-            table[b, s, :len(distinct)] = distinct
-            sel[s, :, b * P:(b + 1) * P] = inverse
-            # transition tying check: constant per pdf class
-            for which, cube_tp in ((0, tps), (1, tpt)):
-                plane = cube_tp[:, b, :, s]
-                sums = np.zeros(len(distinct), np.float64)
-                np.add.at(sums, inverse.reshape(-1), plane.reshape(-1))
-                counts = np.bincount(inverse.reshape(-1),
-                                     minlength=len(distinct))
-                means = (sums / counts).astype(np.float32)
-                if not np.all(plane == means[inverse]):
-                    raise UnsupportedImage(
-                        "transition probs not tied to pdf classes")
-                tpv[which * 3 + s, :len(distinct), b] = means
+        # --- per-frame value table (XLA-side gather): row s*K8 + k,
+        # column = center; padding -> pdf 0
+        table = np.zeros((3, K8, P), dtype=np.int32)
+        # --- class-selection planes: sel[s, a, c*P + b] ----------------
+        sel = np.zeros((3, PS, B), dtype=np.int32)
+        for b in range(P):
+            for s in range(3):
+                distinct, inverse = per[(b, s)]
+                table[s, :len(distinct), b] = distinct
+                # lanes {c*P + b} for center b: start b, stride P
+                sel[s, :P, b::P] = inverse        # (left, right)
+        self._table_flat = jnp.asarray(table.reshape(-1))
+        self._sel_lo = jnp.asarray(sel & 7)
+        self._sel_hi = jnp.asarray(sel >> 3)
 
-        self._sel_packed = jnp.asarray(
-            sel[0] | (sel[1] << bits) | (sel[2] << (2 * bits)))
-        self._tpv = jnp.asarray(tpv.reshape(6 * K, P))
-        # rows [s*K + k] of the per-frame value table, columns = center
-        self._table_flat = jnp.asarray(
-            table.transpose(1, 2, 0).reshape(-1))   # (3*K*P,) pdf ids
+        # --- transition planes, host-precomputed ------------------------
+        # tps[which*3 + s][a, c*P + b]; tying check: constant per class
+        tps = np.full((6, PS, B), NEG_INF, dtype=np.float32)
+        for which, cube_tp in ((0, tps_c), (1, tpt_c)):
+            for b in range(P):
+                for s in range(3):
+                    distinct, inverse = per[(b, s)]
+                    plane = cube_tp[:, b, :, s]
+                    sums = np.zeros(len(distinct), np.float64)
+                    np.add.at(sums, inverse.reshape(-1), plane.reshape(-1))
+                    counts = np.bincount(inverse.reshape(-1),
+                                         minlength=len(distinct))
+                    means = (sums / counts).astype(np.float32)
+                    if not np.all(plane == means[inverse]):
+                        raise UnsupportedImage(
+                            "transition probs not tied to pdf classes")
+                    tps[which * 3 + s, :P, b::P] = means[inverse]
+        self._tps = jnp.asarray(tps)
 
-        # --- one-hot rearrangement matrices ----------------------------
-        E = np.zeros((P, B), np.float32)            # E[x, x*P+y] = 1
-        F = np.zeros((B, P), np.float32)            # F[x*P+y, y] = 1
-        for x in range(P):
-            E[x, x * P:(x + 1) * P] = 1.0
-        F[np.arange(B), np.arange(B) % P] = 1.0
-        E_end = np.zeros((B, P), np.float32)
-        E_end[np.asarray(image.end_idxs), np.arange(P)] = 1.0
-        self._E, self._F, self._E_end = map(jnp.asarray, (E, F, E_end))
+        # --- entry rearrangement: q[a, b] = p[lane b*P + a] -------------
+        lane = np.arange(B)
+        Ea = np.zeros((PS, B), np.float32)        # Ea[a, j] = (j % P == a)
+        Fb = np.zeros((B, P), np.float32)         # Fb[j, b] = (j // P == b)
+        Ea[lane % P, lane] = 1.0
+        Fb[lane, lane // P] = 1.0
+        self._Ea, self._Fb = jnp.asarray(Ea), jnp.asarray(Fb)
+
+        # --- lane maps (original biphone id x*P + y -> lane y*P + x) ----
+        lane_map = (np.arange(B) % P) * P + np.arange(B) // P
+        self.lane_map = lane_map
+        end_idxs = np.asarray(image.end_idxs)
+        # end extraction: static slice when every phone ends in the same
+        # right context with first == the phone itself (TIMIT: (p, sil))
+        if (len(end_idxs) == P
+                and np.all(end_idxs % P == end_idxs[0] % P)
+                and np.all(end_idxs // P == np.arange(P))):
+            self._end_slice = int(end_idxs[0] % P) * P
+            self._E_end = None
+        else:
+            self._end_slice = None
+            E_end = np.zeros((B, P), np.float32)
+            E_end[lane_map[end_idxs], np.arange(P)] = 1.0
+            self._E_end = jnp.asarray(E_end)
 
         # --- rows: LM, initial biphone scores, triphone id bases --------
         lm = image.lm.astype(np.float32) * np.float32(lmw)
         p0 = np.full(B, NEG_INF, dtype=np.float32)
         p0[image.start_idxs] = (lm[image.start_idxs]
                                 - np.log(np.float32(P)))
-        self._lm = jnp.asarray(lm[None, :])
-        self._p0 = jnp.asarray(p0[None, :])
-        lane = np.arange(B, dtype=np.int32)
-        if cube_order == "abc":                     # tri = a*P^2 + lane
+        lm_p = np.empty(B, np.float32)
+        p0_p = np.empty(B, np.float32)
+        lm_p[lane_map] = lm
+        p0_p[lane_map] = p0
+        self._lm = jnp.asarray(lm_p[None, :])
+        self._p0 = jnp.asarray(p0_p[None, :])
+        b_of, c_of = lane % P, lane // P
+        if cube_order == "abc":                   # tri = a*P^2 + b*P + c
             self._a_coef = P * P
-            tri_base = lane
-        else:                                       # tri = b*P^2+a*P+c
+            tri_base = b_of * P + c_of
+        else:                                     # tri = b*P^2 + a*P + c
             self._a_coef = P
-            tri_base = (lane // P) * (P * P) + lane % P
-        self._tri_base = jnp.asarray(tri_base[None, :])
+            tri_base = b_of * (P * P) + c_of
+        self._tri_base = jnp.asarray(tri_base.astype(np.int32)[None, :])
+
+        # original-id maps for the backtrace (viterbi.py)
+        self.end_lane = jnp.asarray(lane_map[end_idxs].astype(np.int32))
+        self.bi_in_lane = jnp.asarray(
+            lane_map[np.asarray(image.biphone_in)].astype(np.int32))
+
         self._pip = float(pip)
         self._fwd = jax.jit(self._forward_impl)
 
     # ------------------------------------------------------------------
-    def _kernel(self, lens_ref, vals_ref, selp_ref, tpv_ref, e_ref, f_ref,
-                eend_ref, lm_ref, p0_ref, tbase_ref,
-                packed_ref, end_ref, pp_ref, tt_ref, pc_ref, tps_ref):
-        P, B, K, bits = self.P, self.B, self.K, self._bits
+    def _kernel(self, lens_ref, vals_ref, lo_ref, hi_ref, tps_ref, ea_ref,
+                fb_ref, eend_ref, lm_ref, p0_ref, tbase_ref,
+                packed_ref, end_ref, pp_ref, tt_ref, pc_ref):
+        P, PS, B, K8, G = self.P, self.PS, self.B, self.K8, self.G
         chunk = self.chunk
-        mask = (1 << bits) - 1
         pip = jnp.float32(self._pip)
         u = pl.program_id(0)
         ch = pl.program_id(1)
 
-        def sel_s(s):
-            return (selp_ref[:] >> (bits * s)) & mask
-
         @pl.when(ch == 0)
         def _init():
-            pp_ref[:] = jnp.full((3, P, B), NEG_INF, jnp.float32)
-            tt_ref[:] = jnp.zeros((3, P, B), jnp.int32)
+            pp_ref[:] = jnp.full((3, PS, B), NEG_INF, jnp.float32)
+            tt_ref[:] = jnp.zeros((3, PS, B), jnp.int32)
             pc_ref[:] = p0_ref[:]
-            # per-class transition log-probs -> dense VMEM planes, once
-            tpv_bc = _dot(tpv_ref[:], e_ref[:])          # (6K, B)
-            for g in range(6):
-                sg = sel_s(g % 3)
-                acc = jnp.zeros((P, B), jnp.float32)
-                for k in range(K):
-                    row = tpv_bc[g * K + k:g * K + k + 1, :]
-                    acc = acc + jnp.where(sg == k, row, 0.0)
-                tps_ref[g] = acc
 
-        s0, s1, s2 = sel_s(0), sel_s(1), sel_s(2)
-        aidx = jax.lax.broadcasted_iota(jnp.int32, (P, B), 0)
+        def obs_plane(tab, s):
+            """(PS, B) observation scores for state s: grouped hardware
+            sublane gathers over the tiled class-value rows."""
+            rows = []
+            for sc in range(PS // 8):
+                r0 = sc * 8
+                lo_s = lo_ref[s, r0:r0 + 8, :]
+                part = jnp.take_along_axis(tab[s * K8:s * K8 + 8, :],
+                                           lo_s, axis=0)
+                if G > 1:
+                    hi_s = hi_ref[s, r0:r0 + 8, :]
+                    for g in range(1, G):
+                        gath = jnp.take_along_axis(
+                            tab[s * K8 + 8 * g:s * K8 + 8 * g + 8, :],
+                            lo_s, axis=0)
+                        part = jnp.where(hi_s == g, gath, part)
+                rows.append(part)
+            return rows[0] if len(rows) == 1 else jnp.concatenate(rows,
+                                                                  axis=0)
+
+        aidx = jax.lax.broadcasted_iota(jnp.int32, (PS, B), 0)
 
         def frame(i, _):
             k_glob = ch * chunk + i
-            vt = vals_ref[0, i]                          # (3K, P)
-            vbc = _dot(vt, e_ref[:])                     # (3K, B)
+            vt = vals_ref[0, i]                          # (3*K8, P)
+            tab = pltpu.repeat(vt, P, axis=1)            # lane j: center j%P
 
-            def obs(s, sg):
-                acc = jnp.zeros((P, B), jnp.float32)
-                for k in range(K):
-                    row = vbc[s * K + k:s * K + k + 1, :]
-                    acc = acc + jnp.where(sg == k, row, 0.0)
-                return acc
-
-            # entry scores: p_in[a, b*P+c] = p[a*P+b] + pip
+            # entry scores: p_in[a, c*P + b] = p[b*P + a] + pip
             prow = pc_ref[:]                             # (1, B)
-            pmat = _dot(e_ref[:] * prow, f_ref[:])       # (P, P)
-            p_in = _dot(pmat, e_ref[:]) + pip            # (P, B)
+            q = _dot(ea_ref[:] * prow, fb_ref[:])        # (PS, P) exact
+            p_in = pltpu.repeat(q, P, axis=1) + pip      # (PS, B)
 
             old0, old1, old2 = pp_ref[0], pp_ref[1], pp_ref[2]
             t0o, t1o, t2o = tt_ref[0], tt_ref[1], tt_ref[2]
@@ -224,41 +280,45 @@ class PallasCubeViterbi:
             go2 = old1 + tps_ref[4]
             stay2 = old2 + tps_ref[2]
             take2 = go2 > stay2
-            pp2 = jnp.where(take2, go2, stay2) + obs(2, s2)
+            pp2 = jnp.where(take2, go2, stay2) + obs_plane(tab, 2)
             tt2 = jnp.where(take2, t1o, t2o)
 
             go1 = old0 + tps_ref[3]
             stay1 = old1 + tps_ref[1]
             take1 = go1 > stay1
-            pp1 = jnp.where(take1, go1, stay1) + obs(1, s1)
+            pp1 = jnp.where(take1, go1, stay1) + obs_plane(tab, 1)
             tt1 = jnp.where(take1, t0o, t1o)
 
             stay0 = old0 + tps_ref[0]
             take0 = p_in > stay0
-            pp0 = jnp.where(take0, p_in, stay0) + obs(0, s0)
+            pp0 = jnp.where(take0, p_in, stay0) + obs_plane(tab, 0)
             tt0 = jnp.where(take0,
-                            jnp.full((P, B), k_glob - 1, jnp.int32), t0o)
+                            jnp.full((PS, B), k_glob - 1, jnp.int32), t0o)
 
             pp_ref[0], pp_ref[1], pp_ref[2] = pp0, pp1, pp2
             tt_ref[0], tt_ref[1], tt_ref[2] = tt0, tt1, tt2
 
-            # per-biphone export: max over the left-context sublanes
-            out_score = pp2 + tps_ref[5]                 # (P, B)
+            # per-biphone export: max over the left-context sublanes;
+            # first-max tie-break matches the C++ strict-< update order
+            out_score = pp2 + tps_ref[5]                 # (PS, B)
             mx = jnp.max(out_score, axis=0, keepdims=True)
             arg = jnp.min(jnp.where(out_score == mx, aidx, P),
-                          axis=0, keepdims=True)         # first max
+                          axis=0, keepdims=True)         # (1, B)
             bt = jnp.sum(jnp.where(aidx == arg, tt2, 0),
-                         axis=0, keepdims=True)           # (1, B)
+                         axis=0, keepdims=True)
             tri = arg * self._a_coef + tbase_ref[:]
             packed_ref[0, pl.ds(i, 1), :] = tri * TIME_PACK + bt + 1
             pnew = mx + lm_ref[:]
             pc_ref[:] = pnew
-            end_ref[0, pl.ds(i, 1), :] = _dot(pnew, eend_ref[:])
+            if self._end_slice is not None:
+                end_ref[0, pl.ds(i, 1), :] = (
+                    pnew[:, self._end_slice:self._end_slice + P])
+            else:
+                end_ref[0, pl.ds(i, 1), :] = _dot(pnew, eend_ref[:])
             return 0
 
         # skip chunks entirely past this utterance's last frame: the
-        # backtrace never reads packed/end rows at t >= length, so the
-        # ~20-30% of bucket-padding frames cost nothing
+        # backtrace never reads packed/end rows at t >= length
         @pl.when(ch * chunk < lens_ref[u])
         def _run():
             jax.lax.fori_loop(0, chunk, frame, 0)
@@ -266,7 +326,7 @@ class PallasCubeViterbi:
     # ------------------------------------------------------------------
     def _forward_impl(self, lp: jax.Array, lengths: jax.Array
                       ) -> Tuple[jax.Array, jax.Array]:
-        P, B, K, chunk = self.P, self.B, self.K, self.chunk
+        P, PS, B, K8, chunk = self.P, self.PS, self.B, self.K8, self.chunk
         U, T, S = lp.shape
         Tp = -(-T // chunk) * chunk
         if Tp != T:
@@ -274,21 +334,28 @@ class PallasCubeViterbi:
         # distinct-pdf score table per frame, gathered in XLA
         vals = jnp.take(lp, self._table_flat, axis=2,
                         indices_are_sorted=False, unique_indices=False)
-        vals = vals.reshape(U, Tp, 3 * K, P)
+        vals = vals.reshape(U, Tp, 3 * K8, P)
 
         const = lambda u, c, lens: (0, 0)
+        const3 = lambda u, c, lens: (0, 0, 0)
+        eend = (self._E_end if self._E_end is not None
+                else jnp.zeros((B, P), jnp.float32))
         packed, end = pl.pallas_call(
             self._kernel,
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=1,
                 grid=(U, Tp // chunk),
                 in_specs=[
-                    pl.BlockSpec((1, chunk, 3 * K, P),
+                    pl.BlockSpec((1, chunk, 3 * K8, P),
                                  lambda u, c, lens: (u, c, 0, 0),
                                  memory_space=pltpu.VMEM),
-                    pl.BlockSpec((P, B), const, memory_space=pltpu.VMEM),
-                    pl.BlockSpec((6 * K, P), const, memory_space=pltpu.VMEM),
-                    pl.BlockSpec((P, B), const, memory_space=pltpu.VMEM),
+                    pl.BlockSpec((3, PS, B), const3,
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((3, PS, B), const3,
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((6, PS, B), const3,
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((PS, B), const, memory_space=pltpu.VMEM),
                     pl.BlockSpec((B, P), const, memory_space=pltpu.VMEM),
                     pl.BlockSpec((B, P), const, memory_space=pltpu.VMEM),
                     pl.BlockSpec((1, B), const, memory_space=pltpu.VMEM),
@@ -302,10 +369,9 @@ class PallasCubeViterbi:
                                  memory_space=pltpu.VMEM),
                 ],
                 scratch_shapes=[
-                    pltpu.VMEM((3, P, B), jnp.float32),   # pp
-                    pltpu.VMEM((3, P, B), jnp.int32),     # tt
-                    pltpu.VMEM((1, B), jnp.float32),      # biphone scores
-                    pltpu.VMEM((6, P, B), jnp.float32),   # tied transitions
+                    pltpu.VMEM((3, PS, B), jnp.float32),   # pp
+                    pltpu.VMEM((3, PS, B), jnp.int32),     # tt
+                    pltpu.VMEM((1, B), jnp.float32),       # biphone scores
                 ],
             ),
             out_shape=[
@@ -316,18 +382,26 @@ class PallasCubeViterbi:
                 dimension_semantics=("arbitrary", "arbitrary"),
             ),
             interpret=self.interpret,
-        )(jnp.asarray(lengths, jnp.int32), vals, self._sel_packed,
-          self._tpv, self._E, self._F, self._E_end, self._lm, self._p0,
-          self._tri_base)
+        )(jnp.asarray(lengths, jnp.int32), vals, self._sel_lo,
+          self._sel_hi, self._tps, self._Ea, self._Fb, eend,
+          self._lm, self._p0, self._tri_base)
         return packed[:, :T], end[:, :T]
 
     def forward(self, lp: jax.Array, lengths=None
                 ) -> Tuple[jax.Array, jax.Array]:
-        """(U, T, S) log-posteriors -> packed bptrs (U, T, B) int32 and
-        end-biphone scores (U, T, P) float32, identical to the XLA
-        path's per-frame scan outputs for every frame t < lengths[u]
-        (rows at or past an utterance's length are skipped — the
-        backtrace never reads them). ``lengths`` defaults to T."""
+        """(U, T, S) log-posteriors -> packed bptrs (U, T, B) int32
+        (right-major lane axis — index via ``end_lane``/``bi_in_lane``)
+        and end-biphone scores (U, T, P) float32 in original phone
+        order, value-identical to the XLA path's per-frame scan outputs
+        for every frame t < lengths[u] (rows at or past an utterance's
+        length are skipped — the backtrace never reads them).
+        ``lengths`` defaults to T."""
         if lengths is None:
             lengths = jnp.full((lp.shape[0],), lp.shape[1], jnp.int32)
         return self._fwd(lp, jnp.asarray(lengths, jnp.int32))
+
+    def forward_traced(self, lp: jax.Array, lengths: jax.Array
+                       ) -> Tuple[jax.Array, jax.Array]:
+        """Unjitted forward for composing under an outer ``jax.jit``
+        (fused forward+decode programs)."""
+        return self._forward_impl(lp, jnp.asarray(lengths, jnp.int32))

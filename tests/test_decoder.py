@@ -171,7 +171,10 @@ def test_pallas_cube_matches_xla_forward(order_seed):
     got_packed, got_end = pal._pallas_fwd.forward(jnp.asarray(lp))
     import jax
     want_packed, want_end = jax.vmap(xla._forward_scan)(jnp.asarray(lp))
-    np.testing.assert_array_equal(np.asarray(got_packed),
+    # the kernel's packed lane axis is phone-permuted by design;
+    # lane_map[orig_biphone] gives its lane
+    lane_map = pal._pallas_fwd.lane_map
+    np.testing.assert_array_equal(np.asarray(got_packed)[..., lane_map],
                                   np.asarray(want_packed))
     np.testing.assert_array_equal(np.asarray(got_end), np.asarray(want_end))
     # with real lengths the kernel skips whole chunks past each
@@ -179,8 +182,9 @@ def test_pallas_cube_matches_xla_forward(order_seed):
     got_packed_l, got_end_l = pal._pallas_fwd.forward(
         jnp.asarray(lp), jnp.asarray(lens))
     for u, l in enumerate(lens):
-        np.testing.assert_array_equal(np.asarray(got_packed_l)[u, :l],
-                                      np.asarray(want_packed)[u, :l])
+        np.testing.assert_array_equal(
+            np.asarray(got_packed_l)[u, :l][..., lane_map],
+            np.asarray(want_packed)[u, :l])
         np.testing.assert_array_equal(np.asarray(got_end_l)[u, :l],
                                       np.asarray(want_end)[u, :l])
     # and the full decode agrees segment-for-segment
