@@ -100,3 +100,21 @@ class NativeDecoder:
         return DecodeResult(segments=[
             (int(b), int(e), self._phone_name(int(tri)))
             for b, e, tri in out[:n]])
+
+    def decode_batch(self, log_probs: List[np.ndarray],
+                     n_threads: Optional[int] = None) -> List[DecodeResult]:
+        """Decode many utterances across host cores.
+
+        The reference gets utterance parallelism from OpenMP
+        (recog_src/source/main.cpp:51-64); here ``Decoder::Decode`` is
+        const with no shared scratch and ctypes drops the GIL for the
+        call's duration, so a plain thread pool saturates the cores.
+        """
+        import os
+        from concurrent.futures import ThreadPoolExecutor
+        if n_threads is None:
+            n_threads = min(len(log_probs), os.cpu_count() or 1)
+        if n_threads <= 1 or len(log_probs) <= 1:
+            return [self.decode_one(lp) for lp in log_probs]
+        with ThreadPoolExecutor(max_workers=n_threads) as pool:
+            return list(pool.map(self.decode_one, log_probs))

@@ -152,9 +152,11 @@ def main(arg_list=None):
     if args.decoder == "native":
         from ..decoder.native import NativeDecoder
         dec = NativeDecoder(image_path, pip=args.PIP, lmw=args.LMW)
-        results = [dec.decode_one(
-            np.ascontiguousarray(lp[offsets[u]:offsets[u + 1]]))
-            for u in range(len(utt_list))]
+        # utterance-parallel across host cores, like the reference's
+        # OpenMP loop (main.cpp:51-64)
+        results = dec.decode_batch(
+            [np.ascontiguousarray(lp[offsets[u]:offsets[u + 1]])
+             for u in range(len(utt_list))])
     else:
         img = load_image(image_path)
         dec = ViterbiDecoder(img, pip=args.PIP, lmw=args.LMW)

@@ -100,7 +100,35 @@ def _save_snapshot(path, params, opt_state, stage, epoch, best_val):
     blob["__epoch__"] = np.asarray(epoch)
     blob["__best_val__"] = np.asarray(
         best_val if best_val is not None else np.nan)
-    np.savez(path, **blob)
+    # crash-safe: write to a sibling tmp file and rename into place, so
+    # a kill mid-save can never leave a truncated snapshot under the
+    # real name (rename within a directory is atomic on POSIX)
+    import os
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        np.savez(f, **blob)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+
+
+def _load_snapshot(path):
+    """Load a snapshot blob, returning None (with a warning) instead of
+    crashing when the file is truncated or otherwise unreadable — e.g.
+    a snapshot written by a pre-atomic-write version that died
+    mid-save."""
+    try:
+        with open(path, "rb") as f:
+            blob = dict(np.load(f, allow_pickle=False))
+        # touch the progress markers so a zip with a valid directory
+        # but a corrupt member still fails here, not mid-resume
+        int(blob["__stage__"]), int(blob["__epoch__"])
+        return blob
+    except Exception as e:  # zipfile.BadZipFile, ValueError, KeyError, ...
+        import warnings
+        warnings.warn(f"snapshot {path} is unreadable ({e!r}); "
+                      f"starting from scratch")
+        return None
 
 
 def _restore_opt_state(blob, template_opt_state):
@@ -228,7 +256,8 @@ def train_network(
         import os
         snap = _snapshot_file(config.snapshot_path)
         if os.path.exists(snap):
-            resume_blob = dict(np.load(snap, allow_pickle=False))
+            resume_blob = _load_snapshot(snap)
+        if resume_blob is not None:
             resume_stage = int(resume_blob["__stage__"])
             resume_epoch = int(resume_blob["__epoch__"])
             log(f"Resuming from snapshot: stage {resume_stage}, "

@@ -11,8 +11,13 @@ networks train as ONE vmapped computation over a leading ``fold`` axis:
   backwards as one batched program, and applies K optimizer updates —
   given a mesh with a ``fold`` axis the stacked params/optimizer/state
   shard over it, so folds really train on different chips;
-* per-fold early stopping masks updates of stopped folds (their
-  params freeze) until all folds finish;
+* per-fold early stopping drops stopped folds from the vmapped
+  computation: their params are stashed and the remaining folds are
+  compacted into a smaller stack (one recompile per stop event), so a
+  long-running fold no longer pays forward/backward FLOPs for folds
+  that already finished. With a fold-sharded mesh, compaction waits
+  until the active count stays divisible by the fold-axis size; the
+  residual in-between epochs fall back to masked (frozen) updates;
 * dev evaluation is one jitted program built ONCE (not per stage),
   running the recurrent dev set as B parallel streams like the engine
   (engine.py `_make_rnn_stage` eval) instead of a single batch-1 scan.
@@ -74,13 +79,18 @@ def train_folds_parallel(
     mesh: Any = None,
     fold_axis: str = "fold",
     eval_batch: int = 64,
+    compact: bool = True,
 ) -> List[Any]:
     """Returns the list of K trained fold params.
 
     ``mesh``: optional ``jax.sharding.Mesh`` with a ``fold_axis`` whose
     size divides ``num_folds`` — the stacked fold networks then shard
     over devices (the TPU-native replacement for the reference's
-    sequential fold loop)."""
+    sequential fold loop).
+
+    ``compact``: drop early-stopped folds from the vmapped stack
+    (default) instead of carrying them as masked frozen lanes; the
+    per-lane math is identical either way."""
     log = config.log or (lambda s: None)
     recurrent = getattr(net, "is_recurrent", False)
     rng_np = np.random.default_rng(config.seed)
@@ -200,23 +210,38 @@ def train_folds_parallel(
 
         n_steps = min(len(u[0]) for u in universes) // (bs * L)
         n_steps = max(n_steps, 1)
+        # fold_ids maps positions in the (possibly compacted) stacked
+        # computation back to original fold indices; stopped folds move
+        # to ``stash`` and stop paying forward/backward FLOPs
+        fold_ids = np.arange(num_folds)
+        stash: dict = {}
         active = np.ones(num_folds, dtype=bool)
         best_vals = np.full(num_folds, np.inf)
         best_params = None   # per-fold best snapshots (fixed-epoch rule)
+        fold_mesh = 1
+        if mesh is not None:
+            fold_mesh = dict(zip(mesh.axis_names,
+                                 mesh.devices.shape))[fold_axis]
+
+        def slice_fold(tree, k):
+            return jax.tree_util.tree_map(lambda l: np.asarray(l[k]), tree)
 
         for epoch in range(stage.epoch):
             t0 = time.time()
+            # shuffle ALL folds (shared host rng) so loss trajectories
+            # are bit-identical whether or not compaction happened
             shuffled = [sentence_shuffle_indices(u[1], len(u[0]), rng_np)
                         for u in universes]
             losses = []
             for s in range(n_steps):
                 idx = np.stack([
-                    u[0][stream_batch_indices(sh, bs, s * L, L)]
-                    for u, sh in zip(universes, shuffled)])
+                    universes[k][0][stream_batch_indices(
+                        shuffled[k], bs, s * L, L)]
+                    for k in fold_ids])
                 if not recurrent:
-                    idx = idx.reshape(num_folds, bs * L)[:, :bs]
+                    idx = idx.reshape(len(fold_ids), bs * L)[:, :bs]
                 key, uk = jax.random.split(key)
-                rks = jax.random.split(uk, num_folds)
+                rks = jax.random.split(uk, num_folds)[fold_ids]
                 act = jnp.asarray(active, jnp.float32)
                 idx = shard_folds(jnp.asarray(idx))
                 if recurrent:
@@ -228,23 +253,25 @@ def train_folds_parallel(
                 losses.append(np.asarray(loss))
             mean_loss = np.stack(losses).mean(axis=0)
             msg = (f"  stage={si} epoch={epoch + 1} "
+                   f"folds={[int(k) for k in fold_ids]} "
                    f"loss={np.array2string(mean_loss, precision=3)} "
                    f"({time.time() - t0:.1f}s)")
             if use_val:
                 vals = np.asarray(evaluate(params))
                 msg += f" val={np.array2string(vals, precision=3)}"
                 if stage.early_stopping:
-                    for k in range(num_folds):
-                        if not active[k]:
+                    for i, k in enumerate(fold_ids):
+                        if not active[i]:
                             continue
-                        v = float(vals[k])
+                        v = float(vals[i])
                         if np.isfinite(best_vals[k]) \
                                 and best_vals[k] - v < -0.001:
-                            active[k] = False
+                            active[i] = False
                         best_vals[k] = min(best_vals[k], v)
                 else:
                     # fixed-epoch stages keep each fold's best-val model
-                    # (the sequential path's BestModelSaver rule)
+                    # (the sequential path's BestModelSaver rule); no
+                    # early stop -> no compaction on this path
                     improved = vals < best_vals
                     best_vals = np.minimum(best_vals, vals)
                     mask = jnp.asarray(improved)
@@ -258,10 +285,44 @@ def train_folds_parallel(
                             pick, best_params, params)
             log(msg)
             if not active.any():
+                for i, k in enumerate(fold_ids):
+                    stash[k] = slice_fold(params, i)
+                fold_ids = np.arange(0)
                 break
+            # compact: drop stopped folds from the stacked computation
+            # (one retrace of `update`/`evaluate` per stop event); with
+            # a fold-sharded mesh only when divisibility allows it
+            n_act = int(active.sum())
+            if compact and stage.early_stopping and n_act < len(fold_ids) \
+                    and n_act % fold_mesh == 0:
+                keep = np.nonzero(active)[0]
+                for i in np.nonzero(~active)[0]:
+                    stash[int(fold_ids[i])] = slice_fold(params, i)
+
+                def take(tree):
+                    kp = jnp.asarray(keep)
+                    return shard_folds(jax.tree_util.tree_map(
+                        lambda l: jnp.take(l, kp, axis=0), tree))
+                params = take(params)
+                opt_state = take(opt_state)
+                if state is not None:
+                    state = take(state)
+                fold_ids = fold_ids[keep]
+                active = active[keep]
+                log(f"  compacted to folds {[int(k) for k in fold_ids]}")
 
         if not stage.early_stopping and best_params is not None:
             params = best_params
+
+        # reassemble the full K-fold stack in original order for the
+        # next stage / final return (stage boundaries reset `active`)
+        if stash:
+            per_fold = dict(stash)
+            for i, k in enumerate(fold_ids):
+                per_fold[int(k)] = slice_fold(params, i)
+            params = shard_folds(jax.tree_util.tree_map(
+                lambda *leaves: jnp.stack(leaves),
+                *[per_fold[k] for k in range(num_folds)]))
 
     return [jax.tree_util.tree_map(lambda l: np.asarray(l[k]), params)
             for k in range(num_folds)]

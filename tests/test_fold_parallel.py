@@ -88,6 +88,36 @@ def test_fold_mesh_matches_unsharded(network):
                                    rtol=2e-4, atol=2e-5)
 
 
+def test_compaction_drops_stopped_folds_same_result():
+    """Early-stopped folds must leave the vmapped computation (no more
+    forward/backward FLOPs for them) without changing any fold's final
+    params vs the masked-lane implementation."""
+    img = make_synthetic_image(num_phones=4, num_states=16, seed=5, tied=False)
+    corpus = make_synthetic_corpus(img, dim=10, num_train=12, num_dev=4,
+                                   num_test=4, noise=0.9, seed=5)
+    c, d = corpus.train, corpus.dev
+    utt_folds = np.arange(c.num_utts) % 4
+    net = get_network("ff", 2, [64], 16)
+    logs = []
+    cfg = TrainConfig(
+        stages=[TrainStage(epoch=30, optimizer="adam", batch_size=32,
+                           lr=3e-2, early_stopping=True)],
+        seed=0, log=logs.append)
+    kw = dict(x_dev=d.data, y_dev=d.targets)
+    got = train_folds_parallel(net, c.data, c.targets, c.offsets,
+                               utt_folds, 4, cfg, **kw)
+    # the noisy high-lr run must have stopped folds at different epochs
+    # and compacted the stack at least once
+    assert any("compacted" in m for m in logs), "\n".join(logs)
+    cfg2 = TrainConfig(stages=cfg.stages, seed=0, log=None)
+    ref = train_folds_parallel(net, c.data, c.targets, c.offsets,
+                               utt_folds, 4, cfg2, compact=False, **kw)
+    for a, b in zip(jax.tree_util.tree_leaves(got),
+                    jax.tree_util.tree_leaves(ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+
 def test_fold_mesh_validation():
     """num_folds must divide the fold-axis size."""
     from nnacousticmodeling_tpu.parallel import make_mesh

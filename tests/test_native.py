@@ -61,6 +61,17 @@ def test_ctypes_decoder_matches_jax(setup):
         assert nat.decode_one(lp).segments == dec.decode_one(lp).segments
 
 
+def test_ctypes_decode_batch_matches_sequential(setup):
+    """The thread-pooled batch path (used by `evaluate --decoder
+    native`, like the reference's OpenMP utterance loop, main.cpp:51-64)
+    must produce exactly the sequential results, in order."""
+    tmp, _, posteriors = setup
+    nat = NativeDecoder(str(tmp / "syn.img"), pip=20.0, lmw=1.0)
+    seq = [nat.decode_one(lp).segments for lp in posteriors]
+    batch = nat.decode_batch(posteriors * 8, n_threads=4)
+    assert [r.segments for r in batch] == seq * 8
+
+
 def test_ctypes_rejects_bad_shapes(setup):
     tmp, _, _ = setup
     nat = NativeDecoder(str(tmp / "syn.img"))

@@ -236,6 +236,37 @@ def test_snapshot_resume_at_stage_boundary(tmp_path, syn):
     assert np.isfinite(trained_leaf).all()
 
 
+def test_snapshot_truncated_is_skipped(tmp_path, syn):
+    """Kill-during-save simulation: a truncated snapshot file must be
+    detected on resume and skipped (train from scratch with a warning),
+    not crash; and the atomic tmp+rename write must never leave a
+    truncated file under the real name."""
+    _, corpus = syn
+    net = get_network("ff", 1, [16], 16)
+    snap = str(tmp_path / "snapshot.npz")
+    stages = [TrainStage(epoch=2, optimizer="momentumsgd", batch_size=64,
+                         lr=1e-2, early_stopping=False)]
+    cfg = TrainConfig(stages=stages, seed=0, log=None, snapshot_path=snap)
+    train_network(net, corpus.train.data, corpus.train.targets, cfg,
+                  x_dev=corpus.dev.data, y_dev=corpus.dev.targets)
+    # a leftover .tmp from a mid-save kill must not shadow the snapshot
+    assert not (tmp_path / "snapshot.npz.tmp").exists()
+
+    # truncate the snapshot mid-file (pre-atomic-write corruption)
+    data = (tmp_path / "snapshot.npz").read_bytes()
+    (tmp_path / "snapshot.npz").write_bytes(data[: len(data) // 2])
+
+    cfg2 = TrainConfig(stages=stages, seed=0, log=None, snapshot_path=snap,
+                       resume_snapshot=True)
+    with pytest.warns(UserWarning, match="unreadable"):
+        res = train_network(net, corpus.train.data, corpus.train.targets,
+                            cfg2, x_dev=corpus.dev.data,
+                            y_dev=corpus.dev.targets)
+    # trained from scratch: both epochs ran, losses finite
+    assert len(res.history) == 2
+    assert all(np.isfinite(h["main/loss"]) for h in res.history)
+
+
 def test_ff_bf16_training_learns(syn):
     _, corpus = syn
     net = get_network("ff", 2, [32], 16)
