@@ -11,11 +11,15 @@ cepstra.
 Convention fine print (verified by tests/test_features.py golden
 oracles): framing (snip-edges), per-frame preemphasis with the
 first-sample self-subtraction, the Povey window (hann^0.85), and the
-float32-epsilon log floor follow Kaldi; the mel triangles use HTK-style
-integer FFT-bin snapping (floor((nfft+1)·f/sr)) rather than Kaldi's
-continuous mel-domain weights, there is no dither, and DC offset is not
-removed — deterministic, simpler, and within the normalization noise
-the pipeline's AddShift/Rescale absorbs.
+float32-epsilon log floor follow Kaldi; the DEFAULT mel triangles use
+HTK-style integer FFT-bin snapping (floor((nfft+1)·f/sr)); pass
+``kaldi_weights=True`` for Kaldi's continuous mel-domain weights —
+golden-pinned against an independent public implementation
+(tests/data/kaldi_mel_fb40.npy) so the raw-audio path reproduces the
+filter bank behind the reference's fbank40 bundle
+(/root/reference/README.md:30-37). There is no dither and DC offset is
+not removed — deterministic; the pipeline's AddShift/Rescale absorbs
+the normalization.
 
 Two implementations with identical outputs:
 
@@ -64,8 +68,19 @@ def povey_window(frame_len: int = FRAME_LEN) -> np.ndarray:
 def mel_filterbank(num_mel: int = NUM_MEL, nfft: int = NFFT,
                    sample_rate: int = SAMPLE_RATE,
                    low_freq: float = 20.0,
-                   high_freq: Optional[float] = None) -> np.ndarray:
-    """(nfft//2+1, num_mel) triangular mel weights."""
+                   high_freq: Optional[float] = None,
+                   kaldi_weights: bool = False) -> np.ndarray:
+    """(nfft//2+1, num_mel) triangular mel weights.
+
+    ``kaldi_weights=False`` (default): HTK-style triangles snapped to
+    integer FFT bins. ``kaldi_weights=True``: Kaldi's mel-banks
+    convention — triangles evaluated in the continuous mel domain at
+    each FFT bin's mel frequency (weight > 0 iff left < mel(f_k) <
+    right) — bit-matching the filter bank the reference's fbank40
+    bundle was computed with (pinned golden:
+    tests/data/kaldi_mel_fb40.npy, minted from an independent public
+    implementation).
+    """
     if high_freq is None:
         high_freq = sample_rate / 2.0
 
@@ -74,6 +89,16 @@ def mel_filterbank(num_mel: int = NUM_MEL, nfft: int = NFFT,
 
     def from_mel(m):
         return 700.0 * (np.exp(m / 1127.0) - 1.0)
+
+    if kaldi_weights:
+        mel_lo, mel_hi = to_mel(low_freq), to_mel(high_freq)
+        delta = (mel_hi - mel_lo) / (num_mel + 1)
+        left = mel_lo + np.arange(num_mel) * delta     # per-bin triangle
+        bin_mels = to_mel(np.arange(nfft // 2 + 1) * sample_rate / nfft)
+        up = (bin_mels[:, None] - left[None, :]) / delta
+        down = ((left[None, :] + 2 * delta) - bin_mels[:, None]) / delta
+        fb = np.minimum(up, down)
+        return np.where(fb > 0.0, fb, 0.0).astype(np.float32)
 
     mel_pts = np.linspace(to_mel(low_freq), to_mel(high_freq), num_mel + 2)
     hz_pts = from_mel(mel_pts)
@@ -124,9 +149,10 @@ def frame_signal(x: jnp.ndarray, frame_len: int = FRAME_LEN,
     return frames
 
 
-@partial(jax.jit, static_argnums=(1, 2, 3, 4))
+@partial(jax.jit, static_argnums=(1, 2, 3, 4, 5))
 def fbank(x: jnp.ndarray, frame_len: int = FRAME_LEN, hop: int = FRAME_HOP,
-          nfft: int = NFFT, num_mel: int = NUM_MEL) -> jnp.ndarray:
+          nfft: int = NFFT, num_mel: int = NUM_MEL,
+          kaldi_weights: bool = False) -> jnp.ndarray:
     """(num_samples,) waveform -> (T, num_mel) log-mel energies."""
     frames = frame_signal(x, frame_len, hop)
     win = jnp.asarray(povey_window(frame_len))
@@ -135,14 +161,16 @@ def fbank(x: jnp.ndarray, frame_len: int = FRAME_LEN, hop: int = FRAME_HOP,
     re = frames @ jnp.asarray(cos_b)
     im = frames @ jnp.asarray(sin_b)
     power = re * re + im * im
-    mel = power @ jnp.asarray(mel_filterbank(num_mel, nfft))
+    mel = power @ jnp.asarray(
+        mel_filterbank(num_mel, nfft, kaldi_weights=kaldi_weights))
     return jnp.log(jnp.maximum(mel, EPS))
 
 
-@partial(jax.jit, static_argnums=(1,))
-def mfcc(x: jnp.ndarray, num_ceps: int = NUM_CEPS) -> jnp.ndarray:
+@partial(jax.jit, static_argnums=(1, 2))
+def mfcc(x: jnp.ndarray, num_ceps: int = NUM_CEPS,
+         kaldi_weights: bool = False) -> jnp.ndarray:
     """(num_samples,) waveform -> (T, num_ceps) cepstra."""
-    logmel = fbank(x)
+    logmel = fbank(x, kaldi_weights=kaldi_weights)
     return logmel @ jnp.asarray(dct_matrix(num_ceps))
 
 
@@ -180,7 +208,8 @@ def cmn_per_speaker(features: np.ndarray, offsets: np.ndarray,
 # ---------------------------------------------------------------------------
 
 def fbank_pallas(x: jnp.ndarray, block_frames: int = 128,
-                 interpret: bool = False) -> jnp.ndarray:
+                 interpret: bool = False,
+                 kaldi_weights: bool = False) -> jnp.ndarray:
     """Fused fbank: window + DFT matmuls + power + mel + log per VMEM
     block. Equivalent to ``fbank`` (tested allclose)."""
     from jax.experimental import pallas as pl
@@ -197,7 +226,7 @@ def fbank_pallas(x: jnp.ndarray, block_frames: int = 128,
     cos_b, sin_b = dft_bases()
     cos_b = jnp.asarray(cos_b)
     sin_b = jnp.asarray(sin_b)
-    mel = jnp.asarray(mel_filterbank())
+    mel = jnp.asarray(mel_filterbank(kaldi_weights=kaldi_weights))
 
     def kernel(frames_ref, win_ref, cos_ref, sin_ref, mel_ref, out_ref):
         f = frames_ref[:] * win_ref[:]

@@ -171,3 +171,30 @@ def test_mel_filterbank_structure():
     assert (np.diff(peaks) > 0).all()     # centers strictly increase
     # below 20 Hz nothing passes
     assert fb[0].sum() == 0.0
+
+
+def test_kaldi_mel_weights_match_pinned_external_oracle():
+    """kaldi_weights=True must bit-match the pinned filter bank minted
+    from transformers.audio_utils.mel_filter_bank (mel_scale='kaldi',
+    triangularize_in_mel_space=True) — an implementation independent of
+    this package, validated upstream against torchaudio/Kaldi. See
+    tests/data/mint_kaldi_golden.py for provenance."""
+    gold = np.load("tests/data/kaldi_mel_fb40.npy")
+    fb = mel_filterbank(kaldi_weights=True)
+    np.testing.assert_array_equal(fb, gold)
+
+
+def test_kaldi_fbank_matches_pinned_golden():
+    """Full raw-audio -> log-mel path with kaldi_weights=True vs a
+    pinned vector computed via plain numpy rfft + the external filter
+    bank (no shared code with ops/features.py)."""
+    g = np.load("tests/data/kaldi_fbank_golden.npz")
+    y = np.asarray(fbank(g["x"], kaldi_weights=True))
+    np.testing.assert_allclose(y, g["y"], atol=1e-4, rtol=0)
+
+
+def test_kaldi_vs_htk_weights_differ():
+    """The two conventions are genuinely different filter banks (the
+    default's documented deviation from Kaldi, features.py docstring)."""
+    assert np.abs(mel_filterbank(kaldi_weights=True)
+                  - mel_filterbank()).max() > 0.05
