@@ -12,7 +12,8 @@ validated structurally (virtual 8-device CPU meshes in tests and the
 driver's ``dryrun_multichip``); on a real pod these helpers are the
 entry point:
 
-    # on every host (e.g. under Ray/SLURM/GKE):
+    # on every host — `sbatch scripts/pod/launch_slurm.sh <train_cli
+    # args>` does exactly this via `train_cli --distributed`:
     initialize_distributed(coordinator, num_hosts, host_id)
     mesh = pod_mesh({"fold": K, "data": jax.device_count() // K})
 

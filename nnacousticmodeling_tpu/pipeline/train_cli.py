@@ -48,6 +48,15 @@ def build_parser() -> argparse.ArgumentParser:
                              "weight matrices column-parallel over the "
                              "model axis; with --train-all-folds a 'fold' "
                              "axis shards the K simultaneous fold networks")
+    parser.add_argument("--distributed", action="store_true",
+                        help="call jax.distributed.initialize() before "
+                             "device use (auto-detects TPU pod / SLURM "
+                             "topology; see scripts/pod/launch_slurm.sh)")
+    parser.add_argument("--coordinator", default="",
+                        help="explicit coordinator address host:port for "
+                             "--distributed (implies it)")
+    parser.add_argument("--num-processes", type=int, default=None)
+    parser.add_argument("--process-id", type=int, default=None)
     parser.add_argument("--out", default="result")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--no-validation", dest="use_validation",
@@ -184,7 +193,16 @@ def main(arg_list=None):
     parser = build_parser()
     args = parser.parse_args(list(map(str, arg_list)) if arg_list is not None
                              else None)
-    dump_args(args, args.out)
+    if args.distributed or args.coordinator:
+        # multi-host bring-up BEFORE any device use; with no explicit
+        # coordinator jax auto-detects TPU-pod / SLURM topology
+        from ..parallel import initialize_distributed
+        initialize_distributed(args.coordinator or None,
+                               args.num_processes, args.process_id)
+    import jax
+    primary = jax.process_index() == 0   # only one host writes artifacts
+    if primary:
+        dump_args(args, args.out)
     num_classes = num_classes_for(args)
     recurrent = is_recurrent(args.network) and not args.train_rpl
 
@@ -270,10 +288,11 @@ def main(arg_list=None):
         fold_params = train_folds_parallel(
             net, x, y, offsets, utt_folds, num_folds, config,
             x_dev=x_dev, y_dev=y_dev, mesh=fold_mesh)
-        Path(args.fold_model_dir).mkdir(exist_ok=True, parents=True)
-        for k, p in enumerate(fold_params):
-            save_pytree(str(Path(args.fold_model_dir,
-                                 args.fold_network_pattern.format(k))), p)
+        if primary:
+            Path(args.fold_model_dir).mkdir(exist_ok=True, parents=True)
+            for k, p in enumerate(fold_params):
+                save_pytree(str(Path(args.fold_model_dir,
+                                     args.fold_network_pattern.format(k))), p)
         return fold_params
 
     if args.train_rpl:
@@ -301,6 +320,8 @@ def main(arg_list=None):
                            x_dev=x_dev, y_dev=y_dev)
 
     # ---- save (train.py:393-395) --------------------------------------
+    if not primary:
+        return result
     Path(args.out).mkdir(exist_ok=True, parents=True)
     save_pytree(str(Path(args.out) / "model"), result.params)
     # np.savez appends .npz; provide the reference-style bare name too

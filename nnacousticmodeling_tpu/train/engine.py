@@ -333,7 +333,9 @@ def train_network(
             log("  " + "  ".join(f"{k}={v:.4f}" if isinstance(v, float) else
                                  f"{k}={v}" for k, v in entry.items()))
 
-            if config.snapshot_path:
+            if config.snapshot_path and jax.process_index() == 0:
+                # multi-host: one writer (every process still READS the
+                # shared snapshot on resume)
                 _save_snapshot(config.snapshot_path, params, opt_state,
                                si, epoch + 1, best_val)
 

@@ -53,17 +53,39 @@ def fold_index_universe(offsets: np.ndarray, utt_folds: np.ndarray,
 
 
 def _fold_sharder(mesh, fold_axis: str):
-    """Per-leaf placement: leading dim over the fold axis."""
+    """Per-leaf placement: leading dim over the fold axis.
+
+    Multi-process meshes (the fold axis crossing host/DCN boundaries)
+    are fed via ``make_array_from_callback`` — every process holds the
+    same host value (identical seeds/data) and contributes only its
+    addressable shards; single-process keeps the cheap device_put."""
     if mesh is None:
         return lambda tree: tree
     from jax.sharding import NamedSharding, PartitionSpec as P
+    multiproc = jax.process_count() > 1
 
     def put(tree):
         def assign(leaf):
-            spec = P(fold_axis, *([None] * (leaf.ndim - 1)))
-            return jax.device_put(leaf, NamedSharding(mesh, spec))
+            sh = NamedSharding(
+                mesh, P(fold_axis, *([None] * (leaf.ndim - 1))))
+            if not multiproc:
+                return jax.device_put(leaf, sh)
+            host = np.asarray(leaf)
+            return jax.make_array_from_callback(
+                host.shape, sh, lambda idx: host[idx])
         return jax.tree_util.tree_map(assign, tree)
     return put
+
+
+def _replicator(mesh):
+    """Constraint forcing a jit output to be fully replicated, so every
+    process can read it (per-fold losses/vals with a fold axis that
+    crosses the process boundary). Identity without a mesh."""
+    if mesh is None:
+        return lambda a: a
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    sh = NamedSharding(mesh, P())
+    return lambda a: jax.lax.with_sharding_constraint(a, sh)
 
 
 def train_folds_parallel(
@@ -105,6 +127,7 @@ def train_folds_parallel(
                 f"num_folds {num_folds} not divisible by fold-axis size "
                 f"{sizes[fold_axis]}")
     shard_folds = _fold_sharder(mesh, fold_axis)
+    replicate_out = _replicator(mesh)
 
     if offsets is None:
         offsets = np.array([0, x.shape[0]], dtype=np.int64)
@@ -147,7 +170,7 @@ def train_folds_parallel(
                     logits, _ = net.apply_sequence(p, xv_streams)
                     return optax.softmax_cross_entropy_with_integer_labels(
                         logits, yv_streams).mean()
-                return jax.vmap(one)(params)
+                return replicate_out(jax.vmap(one)(params))
         else:
             @jax.jit
             def evaluate(params):
@@ -155,7 +178,7 @@ def train_folds_parallel(
                     logits = net.apply(p, xvd)
                     return optax.softmax_cross_entropy_with_integer_labels(
                         logits, yvd).mean()
-                return jax.vmap(one)(params)
+                return replicate_out(jax.vmap(one)(params))
 
     for si, stage in enumerate(config.stages):
         log(f"=== Fold-parallel stage {si}: {num_folds} folds, "
@@ -184,8 +207,9 @@ def train_folds_parallel(
                     upd = jax.tree_util.tree_map(lambda u: u * act, upd)
                     return (optax.apply_updates(p, upd), o2, new_st,
                             loss / L)
-                return jax.vmap(one)(params, opt_state, state, idx,
-                                     active, rng)
+                p2, o2, st2, loss = jax.vmap(one)(params, opt_state, state,
+                                                  idx, active, rng)
+                return p2, o2, st2, replicate_out(loss)
             state = shard_folds(jax.tree_util.tree_map(
                 lambda a: jnp.stack([a] * num_folds),
                 net.init_state(bs)))
@@ -205,7 +229,9 @@ def train_folds_parallel(
                     upd, o2 = opt.update(grads, o, p)
                     upd = jax.tree_util.tree_map(lambda u: u * act, upd)
                     return optax.apply_updates(p, upd), o2, loss
-                return jax.vmap(one)(params, opt_state, idx, active, rng)
+                p2, o2, loss = jax.vmap(one)(params, opt_state, idx,
+                                             active, rng)
+                return p2, o2, replicate_out(loss)
             state = None
 
         n_steps = min(len(u[0]) for u in universes) // (bs * L)
@@ -294,7 +320,8 @@ def train_folds_parallel(
             # a fold-sharded mesh only when divisibility allows it
             n_act = int(active.sum())
             if compact and stage.early_stopping and n_act < len(fold_ids) \
-                    and n_act % fold_mesh == 0:
+                    and n_act % fold_mesh == 0 \
+                    and jax.process_count() == 1:
                 keep = np.nonzero(active)[0]
                 for i in np.nonzero(~active)[0]:
                     stash[int(fold_ids[i])] = slice_fold(params, i)
@@ -324,5 +351,14 @@ def train_folds_parallel(
                 lambda *leaves: jnp.stack(leaves),
                 *[per_fold[k] for k in range(num_folds)]))
 
+    if mesh is not None and jax.process_count() > 1:
+        # all-gather the fold-sharded params once so every host can
+        # read every fold (fold axis may cross the process boundary)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        rep = NamedSharding(mesh, P())
+        params = jax.jit(
+            lambda p: p,
+            out_shardings=jax.tree_util.tree_map(lambda _: rep, params),
+        )(params)
     return [jax.tree_util.tree_map(lambda l: np.asarray(l[k]), params)
             for k in range(num_folds)]

@@ -8,7 +8,10 @@ with 4 virtual CPU devices per process. Runs:
    (train.py:122-125), this is the multi-host story SURVEY §2.4 mandates;
 2. one library-level sharded step fed per-process via
    local_batch_slice + global_batch_array (no host ever holds the
-   global batch).
+   global batch);
+3. fold-parallel training over a HIERARCHICAL ("fold", "data") mesh
+   whose fold axis crosses the process boundary — the DCN shape of
+   SURVEY §2.4 (fold-ensemble over DCN, data-parallel over ICI).
 
 Prints one ``RESULT {...}`` JSON line for the parent to compare.
 """
@@ -73,10 +76,29 @@ def main():
     yb = global_batch_array(mesh, y[:gb][sl])
     _, _, step_loss = step(params, opt_state, xb, yb, None)
 
+    # ---- 3. hierarchical fold x data mesh (fold crosses processes) ----
+    from nnacousticmodeling_tpu.train.fold_parallel import (
+        train_folds_parallel,
+    )
+    hmesh = pod_mesh({"fold": 2, "data": jax.device_count() // 2})
+    offsets = np.arange(0, 257, 16, dtype=np.int64)     # 16 utts x 16
+    utt_folds = np.arange(16) % 2
+    fcfg = TrainConfig(
+        stages=[TrainStage(epoch=2, optimizer="momentumsgd", batch_size=16,
+                           lr=1e-2, early_stopping=False)],
+        seed=0, log=None, use_validation=False)
+    fold_params = train_folds_parallel(
+        net, x, y, offsets, utt_folds, 2, fcfg, mesh=hmesh)
+    fold_sums = [
+        round(float(sum(np.abs(l).sum()
+                        for l in jax.tree_util.tree_leaves(p))), 4)
+        for p in fold_params]
+
     print("RESULT " + json.dumps({
         "pid": pid,
         "losses": [round(float(v), 6) for v in losses],
         "step_loss": round(float(step_loss), 6),
+        "fold_sums": fold_sums,
     }), flush=True)
 
 

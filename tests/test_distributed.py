@@ -93,6 +93,101 @@ def test_matches_single_process_engine(worker_results):
     assert worker_results[0]["losses"] == pytest.approx(local, rel=2e-4)
 
 
+def test_hierarchical_fold_data_mesh(worker_results):
+    """Fold-parallel training over a 2-process ("fold", "data") mesh —
+    the fold axis crossing the process/DCN boundary — must agree across
+    hosts and with the same mesh shape run in ONE process (SURVEY §2.4
+    DCN row)."""
+    import jax
+    assert worker_results[0]["fold_sums"] == worker_results[1]["fold_sums"]
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from nnacousticmodeling_tpu.models import get_network
+    from nnacousticmodeling_tpu.parallel import make_mesh
+    from nnacousticmodeling_tpu.train import TrainConfig, TrainStage
+    from nnacousticmodeling_tpu.train.fold_parallel import (
+        train_folds_parallel,
+    )
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((256, 12)).astype(np.float32)
+    y = rng.integers(0, 10, 256).astype(np.int32)
+    offsets = np.arange(0, 257, 16, dtype=np.int64)
+    utt_folds = np.arange(16) % 2
+    cfg = TrainConfig(
+        stages=[TrainStage(epoch=2, optimizer="momentumsgd", batch_size=16,
+                           lr=1e-2, early_stopping=False)],
+        seed=0, log=None, use_validation=False)
+    fold_params = train_folds_parallel(
+        get_network("ff", 2, [32], 10), x, y, offsets, utt_folds, 2, cfg,
+        mesh=make_mesh({"fold": 2, "data": 4}))
+    local_sums = [
+        float(sum(np.abs(l).sum() for l in jax.tree_util.tree_leaves(p)))
+        for p in fold_params]
+    assert worker_results[0]["fold_sums"] == pytest.approx(local_sums,
+                                                           rel=2e-4)
+
+
+def test_train_cli_distributed_flag(tmp_path):
+    """The user-facing pod wiring (scripts/pod/launch_slurm.sh):
+    train_cli --distributed/--coordinator must bring up jax.distributed
+    across 2 processes, train over a global data mesh, and have ONLY
+    process 0 write the artifacts; the model must match a
+    single-process run of the same CLI."""
+    rng = np.random.default_rng(0)
+    np.save(tmp_path / "data_train.npy",
+            rng.standard_normal((256, 12)).astype(np.float32))
+    np.save(tmp_path / "targets_train.npy",
+            rng.integers(0, 10, 256).astype(np.int32))
+    base = ["-n", "ff", "-l", "1", "-u", "16", "--num-classes", "10",
+            "--data-dir", str(tmp_path), "--target-dir", str(tmp_path),
+            "--ft", "-", "--splice", "0",
+            "-e", "2", "-o", "momentumsgd", "-b", "32", "--lr", "1e-2",
+            "--early-stopping", "false", "--no-validation",
+            "--no-progress", "--noplot", "--mesh", "data=8"]
+    port = _free_port()
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    env["PYTHONPATH"] = str(Path(__file__).parent.parent)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-m",
+             "nnacousticmodeling_tpu.pipeline.train_cli",
+             "--coordinator", f"127.0.0.1:{port}",
+             "--num-processes", "2", "--process-id", str(p),
+             "--out", str(tmp_path / f"out_{p}")] + base,
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env,
+            text=True, cwd=str(tmp_path))
+        for p in range(2)
+    ]
+    for p, proc in enumerate(procs):
+        try:
+            out, err = proc.communicate(timeout=420)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        assert proc.returncode == 0, f"proc {p}:\n{err[-3000:]}"
+    # only process 0 wrote artifacts
+    assert (tmp_path / "out_0" / "model.npz").exists()
+    assert not (tmp_path / "out_1").exists()
+
+    # single-process run with the same global mesh shape
+    import jax
+    if len(jax.devices()) < 8:
+        return
+    from nnacousticmodeling_tpu.pipeline import train_cli
+    res = train_cli.main(base + ["--out", str(tmp_path / "out_sp")])
+    import numpy as _np
+    pod = dict(_np.load(tmp_path / "out_0" / "model.npz"))
+    sp = dict(_np.load(tmp_path / "out_sp" / "model.npz"))
+    assert set(pod) == set(sp)
+    for k in pod:
+        _np.testing.assert_allclose(pod[k], sp[k], rtol=2e-4, atol=1e-6)
+
+
 def test_matches_single_process_step(worker_results):
     """The per-host-fed library step (local_batch_slice +
     global_batch_array) equals the single-process sharded step."""
