@@ -192,6 +192,12 @@ class _RecurrentStack:
     def _cell_state(self, batch):
         raise NotImplementedError
 
+    def _cell_scan_pallas(self, params, carry, proj):
+        """Optional whole-sequence kernel: (carry, (T, B, G*H) proj) ->
+        (carry', (T, B, H) hiddens), or None if this cell has no
+        Pallas scan (the runner then falls back to ``lax.scan``)."""
+        return None
+
     # dropout placement hooks (reference: dropout on input and after
     # every recurrent layer; ZoneoutLSTM overrides both off)
     input_dropout_rate: float = 0.0
@@ -200,6 +206,10 @@ class _RecurrentStack:
     #: per-step dispatch on TPU (numerics unchanged); settable via
     #: ``dataclasses.replace`` for inference-heavy paths
     scan_unroll: int = 1
+    #: "xla" (lax.scan) or "pallas" — the weight-resident VMEM kernel
+    #: (ops/rnn_pallas.py) for cells that support it (plain LSTM),
+    #: inference only; cells without a kernel fall back to lax.scan.
+    scan_impl: str = "xla"
 
     def init(self, key, in_dim):
         keys = _split(key, self.layers + 1)
@@ -246,13 +256,20 @@ class _RecurrentStack:
             step_keys = (jax.random.split(keys[l + 1], t)
                          if keys[l + 1] is not None else jnp.zeros((t, 2), jnp.uint32))
 
-            def scan_fn(carry, inp, _lp=layer_params):
-                x_proj, k = inp
-                k = k if rng is not None else None
-                return self._cell_step(_lp, carry, x_proj, k, train)
+            pallas_res = None
+            if self.scan_impl == "pallas" and not train:
+                pallas_res = self._cell_scan_pallas(layer_params,
+                                                    state[l], proj)
+            if pallas_res is not None:
+                carry, hs = pallas_res
+            else:
+                def scan_fn(carry, inp, _lp=layer_params):
+                    x_proj, k = inp
+                    k = k if rng is not None else None
+                    return self._cell_step(_lp, carry, x_proj, k, train)
 
-            carry, hs = jax.lax.scan(scan_fn, state[l], (proj, step_keys),
-                                     unroll=self.scan_unroll)
+                carry, hs = jax.lax.scan(scan_fn, state[l], (proj, step_keys),
+                                         unroll=self.scan_unroll)
             new_state.append(carry)
             xs = dropout(keys[l + 1], hs.transpose(1, 0, 2),
                          self.layer_dropout_rate, train)       # (B, T, H)
@@ -288,6 +305,11 @@ class LSTM(_RecurrentStack):
     def _cell_state(self, batch):
         return cells.lstm_init_state(batch, self.units)
 
+    def _cell_scan_pallas(self, params, carry, proj):
+        from ..ops.rnn_pallas import lstm_scan_pallas
+        c, h = carry
+        return lstm_scan_pallas(proj, params["wh"], c, h)
+
 
 @dataclass(frozen=True)
 class ZoneoutLSTM(_RecurrentStack):
@@ -309,6 +331,13 @@ class ZoneoutLSTM(_RecurrentStack):
         return cells.zoneout_lstm_step(
             params, carry, x_proj, rng=rng,
             c_ratio=self.c_ratio, h_ratio=self.h_ratio, train=train)
+
+    def _cell_scan_pallas(self, params, carry, proj):
+        # eval-time zoneout is a pass-through (cells.zoneout), so the
+        # inference recurrence is exactly the plain-LSTM one
+        from ..ops.rnn_pallas import lstm_scan_pallas
+        c, h = carry
+        return lstm_scan_pallas(proj, params["wh"], c, h)
 
     def _cell_state(self, batch):
         return cells.lstm_init_state(batch, self.units)

@@ -4,6 +4,7 @@ model construction mirroring the reference's conventions."""
 from __future__ import annotations
 
 import argparse
+import dataclasses
 from pathlib import Path
 from typing import Optional
 
@@ -44,6 +45,13 @@ def add_network_args(parser: argparse.ArgumentParser) -> None:
                         help="explicit output class count (overrides the "
                              "--tri 1909/39 convention, e.g. for synthetic "
                              "corpora)")
+    parser.add_argument("--scan-impl", default="xla",
+                        choices=("xla", "pallas"),
+                        help="recurrent sequence runner: 'xla' (lax.scan, "
+                             "bit-matches the reference recipe) or 'pallas' "
+                             "(weight-resident VMEM kernel, bf16 matmul "
+                             "operands — fastest TPU inference; cells "
+                             "without a kernel fall back to lax.scan)")
 
 
 def add_data_args(parser: argparse.ArgumentParser) -> None:
@@ -67,10 +75,14 @@ def num_classes_for(args) -> int:
 
 
 def build_network(args, num_classes: int):
-    return get_network(args.network, args.layers, args.units, num_classes,
-                       args.activation, args.tdnn_ksize,
-                       args.dropout if isinstance(args.dropout, list)
-                       else [args.dropout])
+    net = get_network(args.network, args.layers, args.units, num_classes,
+                      args.activation, args.tdnn_ksize,
+                      args.dropout if isinstance(args.dropout, list)
+                      else [args.dropout])
+    impl = getattr(args, "scan_impl", "xla")
+    if impl != "xla" and getattr(net, "is_recurrent", False):
+        net = dataclasses.replace(net, scan_impl=impl)
+    return net
 
 
 def effective_splice(args) -> int:

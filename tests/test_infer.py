@@ -71,6 +71,36 @@ def test_rnn_posteriors_match_direct(syn):
     np.testing.assert_allclose(got, direct, atol=1e-4)
 
 
+def test_rnn_posteriors_pallas_scan_impl(syn):
+    """--scan-impl pallas end to end through the bucketed runner:
+    posteriors match the lax.scan runner within the kernel's
+    bf16-matmul tolerance (ops/rnn_pallas.py)."""
+    import dataclasses
+    _, corpus = syn
+    net = get_network("lstm", 1, [16], 20)
+    params = net.init(KEY, 12)
+    c = corpus.dev
+    got_xla = rnn_log_posteriors(net, params, c.data, c.offsets, batch=4)
+    net_pl = dataclasses.replace(net, scan_impl="pallas")
+    got_pl = rnn_log_posteriors(net_pl, params, c.data, c.offsets, batch=4)
+    np.testing.assert_allclose(got_pl, got_xla, atol=5e-2)
+
+
+def test_scan_impl_cli_plumbing():
+    """build_network forwards --scan-impl to recurrent nets and leaves
+    non-recurrent ones untouched."""
+    import argparse
+    from nnacousticmodeling_tpu.pipeline.common import (
+        add_network_args, build_network)
+    parser = argparse.ArgumentParser()
+    add_network_args(parser)
+    args = parser.parse_args(["-n", "lstm", "-l", "1", "-u", "16",
+                              "--scan-impl", "pallas"])
+    assert build_network(args, 20).scan_impl == "pallas"
+    args = parser.parse_args(["-n", "ff", "--scan-impl", "pallas"])
+    build_network(args, 20)  # non-recurrent: flag is a no-op, no crash
+
+
 def test_rnn_posteriors_timedelay(syn):
     """With timedelay k the first k outputs are dropped: output t
     corresponds to input frame t+k (predict_folds.py:60-61)."""

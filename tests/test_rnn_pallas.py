@@ -1,0 +1,105 @@
+"""Weight-resident Pallas LSTM scan (ops/rnn_pallas.py).
+
+Runs in interpret mode on the CPU test platform; the contract under
+test is lax.scan equivalence — same hiddens, same final carry — for
+the mixed-precision recipe (bf16 matmul operands, f32 gates/carry),
+plus the end-to-end ``scan_impl="pallas"`` runner path in
+models/networks.py.  Workload shape mirrors the reference's eval loop
+(evaluateModelForTest.py:52-93).
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nnacousticmodeling_tpu.models import networks
+from nnacousticmodeling_tpu.ops.rnn_pallas import (
+    lstm_scan_pallas,
+    lstm_scan_mixed_reference,
+)
+
+
+def _rand_case(rng, t, b, h):
+    proj = jnp.asarray(rng.standard_normal((t, b, 4 * h)), jnp.float32) * 0.5
+    wh = jnp.asarray(rng.standard_normal((h, 4 * h)), jnp.float32) * 0.1
+    c0 = jnp.asarray(rng.standard_normal((b, h)), jnp.float32) * 0.1
+    h0 = jnp.asarray(rng.standard_normal((b, h)), jnp.float32) * 0.1
+    return proj, wh, c0, h0
+
+
+@pytest.mark.parametrize("t,tb", [(7, 2), (8, 8), (3, 8), (16, 4)])
+def test_matches_mixed_reference(t, tb):
+    rng = np.random.default_rng(0)
+    proj, wh, c0, h0 = _rand_case(rng, t, 8, 128)
+    (ct_r, ht_r), hs_r = lstm_scan_mixed_reference(proj, wh, c0, h0)
+    (ct_p, ht_p), hs_p = lstm_scan_pallas(proj, wh, c0, h0, time_block=tb)
+    # final carry must be the step-T state even when T pads up to a
+    # partial last time block
+    np.testing.assert_allclose(ct_p, ct_r, atol=5e-5)
+    np.testing.assert_allclose(ht_p, ht_r, atol=5e-5)
+    np.testing.assert_allclose(hs_p, hs_r, atol=2e-3)
+    assert hs_p.shape == (t, 8, 128)
+
+
+def test_batch_split_variant_matches():
+    rng = np.random.default_rng(1)
+    proj, wh, c0, h0 = _rand_case(rng, 6, 8, 128)
+    (_, ht_r), hs_r = lstm_scan_mixed_reference(proj, wh, c0, h0)
+    (_, ht_p), hs_p = lstm_scan_pallas(proj, wh, c0, h0, time_block=2,
+                                       batch_split=True)
+    np.testing.assert_allclose(ht_p, ht_r, atol=5e-5)
+    np.testing.assert_allclose(hs_p, hs_r, atol=2e-3)
+
+
+def test_carry_dtype_preserved():
+    rng = np.random.default_rng(2)
+    proj, wh, c0, h0 = _rand_case(rng, 4, 8, 128)
+    c0 = c0.astype(jnp.bfloat16)
+    h0 = h0.astype(jnp.bfloat16)
+    (ct, ht), hs = lstm_scan_pallas(proj.astype(jnp.bfloat16), wh, c0, h0)
+    assert ct.dtype == jnp.bfloat16 and ht.dtype == jnp.bfloat16
+    assert hs.dtype == jnp.bfloat16
+
+
+def test_network_scan_impl_pallas_matches_xla():
+    """LSTM stack forward with scan_impl='pallas' vs the lax.scan
+    runner — full model path (input projections, inter-layer wiring,
+    output head) within mixed-precision tolerance."""
+    net = networks.LSTM(layers=2, units=128, num_classes=40)
+    net_pl = dataclasses.replace(net, scan_impl="pallas")
+    params = net.init(jax.random.PRNGKey(0), 39)
+    xs = jnp.asarray(
+        np.random.default_rng(3).standard_normal((4, 11, 39)), jnp.float32)
+    ys, st = net.apply_sequence(params, xs)
+    ys_p, st_p = net_pl.apply_sequence(params, xs)
+    np.testing.assert_allclose(ys_p, ys, atol=5e-2)
+    for (c, h), (cp, hp) in zip(st, st_p):
+        np.testing.assert_allclose(cp, c, atol=1e-2)
+        np.testing.assert_allclose(hp, h, atol=1e-2)
+
+
+def test_network_pallas_train_falls_back():
+    """train=True must keep the lax.scan path (dropout rng per step);
+    the pallas hook is inference-only."""
+    net = dataclasses.replace(
+        networks.LSTM(layers=1, units=128, num_classes=40, dropout=0.5),
+        scan_impl="pallas")
+    params = net.init(jax.random.PRNGKey(0), 39)
+    xs = jnp.ones((2, 5, 39), jnp.float32)
+    ys, _ = net.apply_sequence(params, xs, rng=jax.random.PRNGKey(1),
+                               train=True)
+    assert bool(jnp.isfinite(ys).all())
+
+
+def test_gru_pallas_falls_back_to_scan():
+    """Cells without a Pallas kernel silently use lax.scan."""
+    net = dataclasses.replace(
+        networks.GRU(layers=1, units=64, num_classes=10),
+        scan_impl="pallas")
+    params = net.init(jax.random.PRNGKey(0), 13)
+    xs = jnp.ones((2, 4, 13), jnp.float32)
+    ys, _ = net.apply_sequence(params, xs)
+    assert ys.shape == (2, 4, 10)
