@@ -114,6 +114,132 @@ def timed(run, feeds, rounds=TIMING_ROUNDS):
     return (time.time() - t0) / rounds
 
 
+TRAIN_EPOCHS = 3          # first epoch compiles; report the fastest rest
+
+
+def _flops_frame_lstm():
+    return 2 * (DIM * 4096 + 1024 * 4096) + 3 * 2 * (1024 * 4096 + 1024 * 4096) \
+        + 2 * 1024 * 1909
+
+
+def _flops_frame_ff(in_dim=440, units=2048, layers=8, classes=1909):
+    f = 2 * in_dim * units + (layers - 1) * 2 * units * units
+    return f + 2 * units * classes
+
+
+def bench_training(rng, peaks):
+    """Measured training throughput for the two canonical configs.
+
+    Returns a dict of train_* metrics merged into the bench JSON:
+    frames/s, step time, and MFU (model FLOPs / wall-clock vs peak,
+    counting backward as 2x forward) for (a) LSTM 4x1024 TBPTT bproplen
+    20 batch 128 and (b) FF 8x2048 batch 1024; plus the measured
+    speedup of the scanned-epoch dispatch over the per-minibatch
+    dispatch loop it replaced.
+    """
+    import optax
+    from nnacousticmodeling_tpu.models import get_network
+    from nnacousticmodeling_tpu.train.engine import (
+        TrainConfig, train_network)
+    from nnacousticmodeling_tpu.train.stages import TrainStage
+    from nnacousticmodeling_tpu.train.streams import (
+        sentence_shuffle_indices, stream_batch_indices)
+
+    out = {}
+
+    def run(net, x, y, offsets, bs, dtype, epochs=TRAIN_EPOCHS):
+        cfg = TrainConfig(
+            stages=[TrainStage(optimizer="momentumsgd", batch_size=bs,
+                               lr=1e-2, epoch=epochs, early_stopping=False)],
+            bprop_len=20, use_validation=False, log=lambda s: None,
+            compute_dtype=dtype)
+        res = train_network(net, x, y, cfg, offsets=offsets)
+        times = [h["elapsed_time"] for h in res.history]
+        return min(times[1:])        # skip the compile epoch
+
+    # --- LSTM 4x1024, TBPTT bproplen 20, batch 128 ----------------------
+    BSL, LL, STEPS = 128, 20, 24
+    n = BSL * LL * STEPS
+    x = rng.standard_normal((n, DIM)).astype(np.float32)
+    y = rng.integers(0, 1909, n).astype(np.int32)
+    offsets = np.arange(0, n + 1, FRAMES_PER_UTT)
+    lstm = get_network("lstm", layers=4, units=[1024], num_classes=1909)
+    lstm = dataclasses.replace(lstm, scan_unroll=8)
+    fl = _flops_frame_lstm() * 3       # fwd + bwd(2x)
+    for dtype, peak in (("float32", peaks["f32"]), ("bfloat16", peaks["bf16"])):
+        t = run(lstm, x, y, offsets, BSL, dtype)
+        tag = "bf16" if dtype == "bfloat16" else "f32"
+        out[f"train_lstm_frames_per_s_{tag}"] = round(n / t, 0)
+        out[f"train_lstm_step_ms_{tag}"] = round(t / STEPS * 1000, 2)
+        out[f"train_lstm_mfu_{tag}"] = round(fl * n / t / 1e12 / peak, 3)
+        log(f"train lstm {tag}: {n / t:.0f} frames/s, "
+            f"{t / STEPS * 1e3:.1f} ms/step, MFU {fl * n / t / 1e12 / peak:.3f}")
+
+    # --- the per-minibatch dispatch loop this round replaced ------------
+    # (same math: jitted update per TBPTT minibatch, host loop between)
+    params = lstm.init(jax.random.PRNGKey(0), DIM)
+    opt = optax.sgd(1e-2, momentum=0.9)
+    opt_state = opt.init(params)
+    xd, yd = jnp.asarray(x), jnp.asarray(y)
+
+    @jax.jit
+    def step_update(params, opt_state, state, idx, xd, yd):
+        xb = jnp.take(xd, idx.reshape(-1), axis=0).reshape(BSL, LL, -1)
+        yb = jnp.take(yd, idx.reshape(-1), axis=0).reshape(BSL, LL)
+
+        def loss_fn(p):
+            logits, new_state = lstm.apply_sequence(p, xb, state)
+            loss = optax.softmax_cross_entropy_with_integer_labels(
+                logits, yb).mean(axis=0).sum()
+            return loss, new_state
+
+        (loss, new_state), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, new_state, loss
+
+    rng_np = np.random.default_rng(0)
+
+    def dispatch_epoch():
+        nonlocal params, opt_state
+        state = lstm.init_state(BSL)
+        shuffled = sentence_shuffle_indices(offsets, n, rng_np)
+        loss = None
+        for s in range(STEPS):
+            idx = jnp.asarray(stream_batch_indices(shuffled, BSL, s * LL, LL))
+            params, opt_state, state, loss = step_update(
+                params, opt_state, state, idx, xd, yd)
+        return float(loss)           # force completion
+
+    dispatch_epoch()                 # compile
+    t0 = time.time()
+    dispatch_epoch()
+    t_dispatch = time.time() - t0
+    speedup = (t_dispatch / STEPS * 1000) / out["train_lstm_step_ms_f32"]
+    out["train_lstm_step_ms_f32_per_step_dispatch"] = round(
+        t_dispatch / STEPS * 1000, 2)
+    out["train_lstm_dispatch_speedup"] = round(speedup, 2)
+    log(f"train lstm f32 per-step dispatch: {t_dispatch / STEPS * 1e3:.1f} "
+        f"ms/step -> scanned-epoch speedup {speedup:.2f}x")
+
+    # --- FF 8x2048, batch 1024, 440-dim spliced inputs ------------------
+    BSF, STEPS_F = 1024, 48
+    nf = BSF * STEPS_F
+    xf = rng.standard_normal((nf, 440)).astype(np.float32)
+    yf = rng.integers(0, 1909, nf).astype(np.int32)
+    ff = get_network("ff", layers=8, units=[2048], num_classes=1909)
+    flf = _flops_frame_ff() * 3
+    for dtype, peak in (("float32", peaks["f32"]), ("bfloat16", peaks["bf16"])):
+        t = run(ff, xf, yf, None, BSF, dtype)
+        tag = "bf16" if dtype == "bfloat16" else "f32"
+        out[f"train_ff_frames_per_s_{tag}"] = round(nf / t, 0)
+        out[f"train_ff_step_ms_{tag}"] = round(t / STEPS_F * 1000, 2)
+        out[f"train_ff_mfu_{tag}"] = round(flf * nf / t / 1e12 / peak, 3)
+        log(f"train ff {tag}: {nf / t:.0f} frames/s, "
+            f"{t / STEPS_F * 1e3:.1f} ms/step, MFU {flf * nf / t / 1e12 / peak:.3f}")
+    return out
+
+
 def main():
     from nnacousticmodeling_tpu.models import get_network
     from nnacousticmodeling_tpu.models.precision import cast_params
@@ -243,6 +369,15 @@ def main():
     peaks = PEAKS.get("v5e" if "v5" in str(kind) else "v5e")
     mfu = tf_bf16 / peaks["bf16"] if bf16_parity else tf_f32 / peaks["f32"]
 
+    # ---- training throughput -------------------------------------------
+    # The reference's hot loop is the trainer (train.py:376; BPTTUpdater
+    # orcus_chainer_util.py:112-130). Canonical configs: LSTM 4x1024
+    # TBPTT (bproplen 20, b 128) and FF 8x2048 (b 1024). The engine runs
+    # each epoch as ONE dispatched lax.scan over the updates
+    # (engine.py epoch_fn); train_*_dispatch_speedup measures that scan
+    # against the per-minibatch-dispatch structure it replaced.
+    train_metrics = bench_training(rng, peaks)
+
     # ---- reference-style baseline on a subset -------------------------
     # per-timestep loop with a host->device transfer per step (the
     # Chainer predict loop), .lab file IPC, native decoder subprocess
@@ -305,6 +440,7 @@ def main():
         "forward_mfu": round(mfu, 3),
         "forward_scan_impl": "pallas" if use_pallas_scan else "xla",
         "decoder_backend": dec.backend,
+        **train_metrics,
     }))
 
 

@@ -206,9 +206,10 @@ class _RecurrentStack:
     #: per-step dispatch on TPU (numerics unchanged); settable via
     #: ``dataclasses.replace`` for inference-heavy paths
     scan_unroll: int = 1
-    #: "xla" (lax.scan) or "pallas" — the weight-resident VMEM kernel
-    #: (ops/rnn_pallas.py) for cells that support it (plain LSTM),
-    #: inference only; cells without a kernel fall back to lax.scan.
+    #: "xla" (lax.scan) or "pallas" — the weight-resident VMEM kernels
+    #: (ops/rnn_pallas.py) for cells that have one (LSTM, eval-time
+    #: ZoneoutLSTM, GRU, MGRU±reset), inference only; cells without a
+    #: kernel fall back to lax.scan.
     scan_impl: str = "xla"
 
     def init(self, key, in_dim):
@@ -400,6 +401,20 @@ class GRU(_RecurrentStack):
     def _cell_state(self, batch):
         return cells.gru_init_state(batch, self.units)
 
+    def _cell_scan_pallas(self, params, carry, proj):
+        from ..ops.rnn_pallas import gated_scan_pallas
+        h, fresh = carry
+        if "bu" in params:
+            # converted checkpoints: Chainer skips the whole U term
+            # (incl. its bias) while h is None (MGRU.py:70-76) — fold
+            # the live-gated bias into the proj stream so the kernel
+            # sees a plain recurrence (live = 0 only at a fresh step 0)
+            proj = proj + params["bu"]
+            proj = proj.at[0].add(-fresh * params["bu"])
+        h_t, hs = gated_scan_pallas(proj, params["wh_rz"],
+                                    params["wh_c"], h, kind="gru")
+        return (h_t, jnp.zeros_like(fresh)), hs
+
 
 @dataclass(frozen=True)
 class MGRUNet(_RecurrentStack):
@@ -426,6 +441,31 @@ class MGRUNet(_RecurrentStack):
 
     def _cell_state(self, batch):
         return cells.gru_init_state(batch, self.units)
+
+    def _cell_scan_pallas(self, params, carry, proj):
+        from ..ops.rnn_pallas import gated_scan_pallas
+        h, fresh = carry
+        u = self.units
+        # fold the live-gated converted-checkpoint U biases into the
+        # proj stream (see the GRU hook; layout [z, cand, r?])
+        if "bu_z" in params or "bu_r" in params:
+            z = jnp.zeros((u,), jnp.float32)
+            bu = jnp.concatenate(
+                [params.get("bu_z", z), params.get("bu", z)]
+                + ([params.get("bu_r", z)] if self.use_reset_gate else []))
+            proj = proj + bu
+            proj = proj.at[0].add(-fresh * bu)
+        if self.use_reset_gate:
+            w1 = jnp.concatenate([params["u_z"], params["u_r"]], axis=1)
+            h_t, hs = gated_scan_pallas(
+                proj, w1, params["u"], h, kind="mgru_r",
+                activation=ACTIVATIONS[self.activation])
+        else:
+            w1 = jnp.concatenate([params["u_z"], params["u"]], axis=1)
+            h_t, hs = gated_scan_pallas(
+                proj, w1, None, h, kind="mgru",
+                activation=ACTIVATIONS[self.activation])
+        return (h_t, jnp.zeros_like(fresh)), hs
 
 
 # ---------------------------------------------------------------------------

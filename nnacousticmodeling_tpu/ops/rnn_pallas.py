@@ -190,6 +190,165 @@ def lstm_scan_pallas(proj, wh, c0, h0, *, time_block: int = 8,
     return (c_t.astype(carry_dtype), h_t.astype(carry_dtype)), hs[:t]
 
 
+def gated_scan_pallas(proj, w1, w2, h0, *, kind, activation=jnp.tanh,
+                      time_block: int = 8,
+                      vmem_limit_bytes: int = 64 * 1024 * 1024,
+                      interpret: bool | None = None):
+    """Weight-resident GRU / minimal-GRU sequence scan.
+
+    Same recipe as ``lstm_scan_pallas``: the recurrent matrices stay in
+    VMEM across ALL timesteps; only the hoisted input projection blocks
+    stream in and the hiddens stream out. Matmul operands are bf16 with
+    f32 accumulation; gates and the h carry stay f32.
+
+    kind selects the gate wiring (cells.py twins of
+    chainer_networks.py:123-141 and MGRU.py:67-85):
+
+    * ``"gru"``    — proj (T, B, 3H) packs [r, z, cand]; ``w1`` is
+      wh_rz (H, 2H), ``w2`` is wh_c (H, H) applied to r*h.
+    * ``"mgru_r"`` — proj packs [z, cand, r]; ``w1`` = [u_z | u_r]
+      (H, 2H), ``w2`` = u applied to r*h.
+    * ``"mgru"``   — proj (T, B, 2H) packs [z, cand]; ``w1`` =
+      [u_z | u] (H, 2H), no ``w2``.
+
+    All kinds share h' = z*h_bar + (1-z)*h (Chainer
+    ``linear_interpolate``; note z gates the CANDIDATE). First-step
+    ``fresh``/"bu" semantics are handled by the callers (networks.py)
+    as a proj-side pre-add, so the kernel sees plain recurrences.
+
+    Returns ``(h_T, hs)`` with hs (T, B, H) in ``proj.dtype``.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if kind not in ("gru", "mgru_r", "mgru"):
+        raise ValueError(f"unknown kind {kind!r}")
+
+    t, b, g = proj.shape
+    carry_dtype = h0.dtype
+    h_dim = w1.shape[0]
+    gp = {"gru": 3, "mgru_r": 3, "mgru": 2}[kind]
+    if g != gp * h_dim:
+        raise ValueError(f"proj gate dim {g} != {gp}*{h_dim}")
+    out_dtype = proj.dtype
+    tb = max(1, min(time_block, t))
+    tp = _cdiv(t, tb) * tb
+    if tp != t:
+        proj = jnp.pad(proj, ((0, tp - t), (0, 0), (0, 0)))
+    proj = proj.astype(jnp.bfloat16)
+    w1 = w1.astype(jnp.bfloat16)
+    has_w2 = w2 is not None
+    w2 = w2.astype(jnp.bfloat16) if has_w2 else jnp.zeros((1, 1), jnp.bfloat16)
+    h0 = h0.astype(jnp.float32)
+
+    def _step_math(p, m1, h, mm2):
+        """p: (B, gp*H) f32 proj row; m1: (B, 2H) f32 first matmul;
+        mm2(x) -> x @ w2 f32."""
+        if kind == "gru":
+            r = jax.nn.sigmoid(p[:, :h_dim] + m1[:, :h_dim])
+            z = jax.nn.sigmoid(p[:, h_dim:2 * h_dim] + m1[:, h_dim:])
+            hb = jnp.tanh(p[:, 2 * h_dim:] + mm2(r * h))
+        elif kind == "mgru_r":
+            z = jax.nn.sigmoid(p[:, :h_dim] + m1[:, :h_dim])
+            r = jax.nn.sigmoid(p[:, 2 * h_dim:] + m1[:, h_dim:])
+            hb = activation(p[:, h_dim:2 * h_dim] + mm2(r * h))
+        else:                                  # mgru, no reset gate
+            z = jax.nn.sigmoid(p[:, :h_dim] + m1[:, :h_dim])
+            hb = activation(p[:, h_dim:2 * h_dim] + m1[:, h_dim:])
+        return z * hb + (1.0 - z) * h
+
+    def kernel(proj_ref, w1_ref, w2_ref, h0_ref, hs_ref, ht_ref, h_scr):
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            h_scr[:] = h0_ref[:]
+
+        base = pl.program_id(0) * tb
+
+        def mm2(x):
+            return jnp.dot(x.astype(jnp.bfloat16), w2_ref[:],
+                           preferred_element_type=jnp.float32)
+
+        def step(i, _):
+            h = h_scr[:]
+            m1 = jnp.dot(h.astype(jnp.bfloat16), w1_ref[:],
+                         preferred_element_type=jnp.float32)
+            h_new = _step_math(proj_ref[i].astype(jnp.float32), m1, h, mm2)
+            live = base + i < t
+            h_scr[:] = jnp.where(live, h_new, h)
+            hs_ref[i] = h_new.astype(hs_ref.dtype)
+            return 0
+
+        jax.lax.fori_loop(0, tb, step, 0)
+        ht_ref[:] = h_scr[:]
+
+    const = lambda i: (0, 0)
+    hs, h_t = pl.pallas_call(
+        kernel,
+        grid=(tp // tb,),
+        in_specs=[
+            pl.BlockSpec((tb, b, g), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(w1.shape, const, memory_space=pltpu.VMEM),
+            pl.BlockSpec(w2.shape, const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, h_dim), const, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tb, b, h_dim), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, h_dim), const, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((tp, b, h_dim), out_dtype),
+            jax.ShapeDtypeStruct((b, h_dim), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((b, h_dim), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=vmem_limit_bytes,
+        ),
+        interpret=interpret,
+    )(proj, w1, w2, h0)
+    return h_t.astype(carry_dtype), hs[:t]
+
+
+def gated_scan_mixed_reference(proj, w1, w2, h0, *, kind,
+                               activation=jnp.tanh):
+    """lax.scan twin of ``gated_scan_pallas`` with the kernel's exact
+    precision contract, for equivalence tests."""
+    proj = proj.astype(jnp.bfloat16)
+    w1 = w1.astype(jnp.bfloat16)
+    w2b = w2.astype(jnp.bfloat16) if w2 is not None else None
+    h_dim = w1.shape[0]
+
+    def step(h, p):
+        p = p.astype(jnp.float32)
+        m1 = jnp.dot(h.astype(jnp.bfloat16), w1,
+                     preferred_element_type=jnp.float32)
+
+        def mm2(x):
+            return jnp.dot(x.astype(jnp.bfloat16), w2b,
+                           preferred_element_type=jnp.float32)
+
+        if kind == "gru":
+            r = jax.nn.sigmoid(p[:, :h_dim] + m1[:, :h_dim])
+            z = jax.nn.sigmoid(p[:, h_dim:2 * h_dim] + m1[:, h_dim:])
+            hb = jnp.tanh(p[:, 2 * h_dim:] + mm2(r * h))
+        elif kind == "mgru_r":
+            z = jax.nn.sigmoid(p[:, :h_dim] + m1[:, :h_dim])
+            r = jax.nn.sigmoid(p[:, 2 * h_dim:] + m1[:, h_dim:])
+            hb = activation(p[:, h_dim:2 * h_dim] + mm2(r * h))
+        else:
+            z = jax.nn.sigmoid(p[:, :h_dim] + m1[:, :h_dim])
+            hb = activation(p[:, h_dim:2 * h_dim] + m1[:, h_dim:])
+        h_new = z * hb + (1.0 - z) * h
+        return h_new, h_new.astype(proj.dtype)
+
+    h_t, hs = jax.lax.scan(step, h0.astype(jnp.float32), proj)
+    return h_t, hs
+
+
 def lstm_scan_mixed_reference(proj, wh, c0, h0):
     """jnp reference with the kernel's exact precision contract (bf16
     matmul operands, f32 accumulation/carry) for equivalence tests."""

@@ -379,8 +379,7 @@ def _make_ff_stage(net, opt, xd, yd, config, bs, val, apply_fn,
     apply = _mixed_apply(_compute_dtype(config), apply)
     constrain = _batch_constrainer(config)
 
-    @jax.jit
-    def update(params, opt_state, idx, rng, xd, yd):
+    def update_core(params, opt_state, idx, rng, xd, yd):
         xb = constrain(jnp.take(xd, idx, axis=0))
         yb = constrain(jnp.take(yd, idx, axis=0))
 
@@ -393,6 +392,25 @@ def _make_ff_stage(net, opt, xd, yd, config, bs, val, apply_fn,
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss, acc
 
+    # whole epoch as ONE dispatched program: the epoch's (steps, bs)
+    # index tensor is uploaded once and a lax.scan chains the updates —
+    # no per-minibatch Python dispatch (the reference re-uploads and
+    # re-dispatches every minibatch, orcus_chainer_util.py:124-125).
+    # The rng key chain is split inside the scan carry, reproducing the
+    # per-step host split sequence value-for-value.
+    @jax.jit
+    def epoch_fn(params, opt_state, idx_all, key, xd, yd):
+        def body(carry, idx):
+            params, opt_state, key = carry
+            key, sk = jax.random.split(key)
+            params, opt_state, loss, acc = update_core(
+                params, opt_state, idx, sk, xd, yd)
+            return (params, opt_state, key), (loss, acc)
+
+        (params, opt_state, _), (losses, accs) = jax.lax.scan(
+            body, (params, opt_state, key), idx_all)
+        return params, opt_state, losses.mean(), accs.mean()
+
     n = int(xd.shape[0])
     steps = max(n // bs, 1)
 
@@ -400,25 +418,15 @@ def _make_ff_stage(net, opt, xd, yd, config, bs, val, apply_fn,
         if config.shuffle_sequences:
             # reference --shuffle-sequences on FF nets: B streams over
             # the sentence-shuffled corpus, one frame each per batch
-            shuffled = sentence_shuffle_indices(offsets, n, rng_np)
-            perm = None
+            idx_all = stream_batch_indices(
+                sentence_shuffle_indices(offsets, n, rng_np),
+                bs, 0, steps).T                       # (steps, bs)
         else:
             perm = rng_np.permutation(n)
-        losses, accs = [], []
-        for s in range(steps):
-            key, sk = jax.random.split(key)
-            if perm is None:
-                idx = jnp.asarray(
-                    stream_batch_indices(shuffled, bs, s, 1).reshape(-1))
-            else:
-                idx = jnp.asarray(perm[s * bs:(s + 1) * bs])
-            params, opt_state, loss, acc = update(params, opt_state, idx, sk,
-                                                  xd, yd)
-            losses.append(loss)
-            accs.append(acc)
-        return (params, opt_state,
-                float(jnp.mean(jnp.stack(losses))),
-                float(jnp.mean(jnp.stack(accs))))
+            idx_all = perm[:steps * bs].reshape(steps, bs)
+        params, opt_state, loss, acc = epoch_fn(
+            params, opt_state, jnp.asarray(idx_all), key, xd, yd)
+        return params, opt_state, float(loss), float(acc)
 
     if val is None:
         return run_epoch, None
@@ -485,8 +493,7 @@ def _make_rnn_stage(net, opt, xd, yd, offsets, config, bs, val,
 
     constrain = _batch_constrainer(config)
 
-    @jax.jit
-    def update(params, opt_state, state, idx, rng, xd, yd):
+    def update_core(params, opt_state, state, idx, rng, xd, yd):
         xb = constrain(jnp.take(xd, idx.reshape(-1), axis=0).reshape(bs, L, -1))
         yb = constrain(jnp.take(yd, idx.reshape(-1), axis=0).reshape(bs, L))
 
@@ -505,21 +512,34 @@ def _make_rnn_stage(net, opt, xd, yd, offsets, config, bs, val,
         params = optax.apply_updates(params, updates)
         return params, opt_state, new_state, loss / L, acc
 
+    # whole epoch in ONE dispatch (see the FF twin above): the epoch's
+    # (steps, bs, L) TBPTT index tensor is device-put once and the
+    # updates chain through a lax.scan with the recurrent state in the
+    # carry — identical math and rng sequence to per-step dispatch.
+    @jax.jit
+    def epoch_fn(params, opt_state, state, idx_all, key, xd, yd):
+        def body(carry, idx):
+            params, opt_state, state, key = carry
+            key, sk = jax.random.split(key)
+            params, opt_state, state, loss, acc = update_core(
+                params, opt_state, state, idx, sk, xd, yd)
+            return (params, opt_state, state, key), (loss, acc)
+
+        (params, opt_state, state, _), (losses, accs) = jax.lax.scan(
+            body, (params, opt_state, state, key), idx_all)
+        return params, opt_state, state, losses.mean(), accs.mean()
+
     steps = max(n // (bs * L), 1)
 
     def run_epoch(params, opt_state, state, key, rng_np):
         shuffled = sentence_shuffle_indices(offsets, n, rng_np)
-        losses, accs = [], []
-        for s in range(steps):
-            key, sk = jax.random.split(key)
-            idx = stream_batch_indices(shuffled, bs, s * L, L)
-            params, opt_state, state, loss, acc = update(
-                params, opt_state, state, jnp.asarray(idx), sk, xd, yd)
-            losses.append(loss)
-            accs.append(acc)
-        return (params, opt_state, state,
-                float(jnp.mean(jnp.stack(losses))),
-                float(jnp.mean(jnp.stack(accs))))
+        # [s, b, t] = shuffled[(b*N/B + s*L + t) % N]
+        idx_all = stream_batch_indices(shuffled, bs, 0, steps * L
+                                       ).T.reshape(steps, L, bs
+                                                   ).transpose(0, 2, 1)
+        params, opt_state, state, loss, acc = epoch_fn(
+            params, opt_state, state, jnp.asarray(idx_all), key, xd, yd)
+        return params, opt_state, state, float(loss), float(acc)
 
     state0 = state_cast(net.init_state(bs))
     if config.mesh is not None:

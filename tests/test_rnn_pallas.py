@@ -94,12 +94,92 @@ def test_network_pallas_train_falls_back():
     assert bool(jnp.isfinite(ys).all())
 
 
-def test_gru_pallas_falls_back_to_scan():
+def test_peephole_pallas_falls_back_to_scan():
     """Cells without a Pallas kernel silently use lax.scan."""
     net = dataclasses.replace(
-        networks.GRU(layers=1, units=64, num_classes=10),
+        networks.PeepholeLSTM(layers=1, units=64, num_classes=10),
         scan_impl="pallas")
     params = net.init(jax.random.PRNGKey(0), 13)
     xs = jnp.ones((2, 4, 13), jnp.float32)
     ys, _ = net.apply_sequence(params, xs)
     assert ys.shape == (2, 4, 10)
+
+
+# ---------------------------------------------------------------------------
+# gated (GRU / MGRU) weight-resident scan
+# ---------------------------------------------------------------------------
+
+from nnacousticmodeling_tpu.ops.rnn_pallas import (
+    gated_scan_pallas,
+    gated_scan_mixed_reference,
+)
+
+
+def _gated_case(rng, t, b, h, gp):
+    proj = jnp.asarray(rng.standard_normal((t, b, gp * h)), jnp.float32) * 0.5
+    w1 = jnp.asarray(rng.standard_normal((h, 2 * h)), jnp.float32) * 0.1
+    w2 = jnp.asarray(rng.standard_normal((h, h)), jnp.float32) * 0.1
+    h0 = jnp.asarray(rng.standard_normal((b, h)), jnp.float32) * 0.1
+    return proj, w1, w2, h0
+
+
+@pytest.mark.parametrize("kind,gp,t,tb", [
+    ("gru", 3, 7, 2), ("gru", 3, 8, 8),
+    ("mgru_r", 3, 7, 4), ("mgru", 2, 9, 8),
+])
+def test_gated_matches_mixed_reference(kind, gp, t, tb):
+    rng = np.random.default_rng(4)
+    proj, w1, w2, h0 = _gated_case(rng, t, 8, 128, gp)
+    act = jax.nn.relu if kind.startswith("mgru") else jnp.tanh
+    w2_arg = None if kind == "mgru" else w2
+    ht_r, hs_r = gated_scan_mixed_reference(proj, w1, w2_arg, h0, kind=kind,
+                                            activation=act)
+    ht_p, hs_p = gated_scan_pallas(proj, w1, w2_arg, h0, kind=kind,
+                                   activation=act, time_block=tb)
+    # reference hiddens round through bf16; relu-MGRU hiddens are
+    # unbounded, so allow the matching relative slack
+    np.testing.assert_allclose(ht_p, ht_r, atol=5e-5, rtol=5e-4)
+    np.testing.assert_allclose(hs_p, hs_r, atol=2e-3, rtol=5e-3)
+    assert hs_p.shape == (t, 8, 128)
+
+
+@pytest.mark.parametrize("maker", [
+    lambda: networks.GRU(layers=2, units=128, num_classes=40),
+    lambda: networks.MGRUNet(layers=2, units=128, num_classes=40,
+                             activation="relu"),
+    lambda: networks.MGRUNet(layers=2, units=128, num_classes=40,
+                             activation="relu", use_reset_gate=True),
+])
+def test_network_gated_pallas_matches_xla(maker):
+    net = maker()
+    net_pl = dataclasses.replace(net, scan_impl="pallas")
+    params = net.init(jax.random.PRNGKey(0), 39)
+    xs = jnp.asarray(
+        np.random.default_rng(5).standard_normal((4, 11, 39)), jnp.float32)
+    ys, st = net.apply_sequence(params, xs)
+    ys_p, st_p = net_pl.apply_sequence(params, xs)
+    np.testing.assert_allclose(ys_p, ys, atol=5e-2)
+    for (h, f), (hp, fp) in zip(st, st_p):
+        np.testing.assert_allclose(hp, h, atol=1e-2)
+        np.testing.assert_allclose(fp, f)
+
+
+def test_network_gated_pallas_converted_bias_first_step():
+    """Converted-checkpoint U biases ('bu') must stay gated off on the
+    fresh first step in the pallas path (Chainer h-is-None rule)."""
+    net = networks.GRU(layers=1, units=64, num_classes=10)
+    params = net.init(jax.random.PRNGKey(0), 13)
+    params["cells"][0]["bu"] = jnp.asarray(
+        np.random.default_rng(6).standard_normal(3 * 64), jnp.float32)
+    net_pl = dataclasses.replace(net, scan_impl="pallas")
+    xs = jnp.asarray(
+        np.random.default_rng(7).standard_normal((3, 6, 13)), jnp.float32)
+    ys, _ = net.apply_sequence(params, xs)
+    ys_p, _ = net_pl.apply_sequence(params, xs)
+    np.testing.assert_allclose(ys_p, ys, atol=5e-2)
+    # carried (non-fresh) state: biases live from step 0 of the 2nd call
+    _, st = net.apply_sequence(params, xs)
+    ys2, _ = net.apply_sequence(params, xs, state=st)
+    _, st_p = net_pl.apply_sequence(params, xs)
+    ys2_p, _ = net_pl.apply_sequence(params, xs, state=st_p)
+    np.testing.assert_allclose(ys2_p, ys2, atol=5e-2)
