@@ -104,13 +104,21 @@ def make_feeds(rng, n_feeds):
     return feeds, lengths
 
 
-def timed(run, feeds, rounds=TIMING_ROUNDS):
-    """Average seconds per call; every call gets different data and
-    must itself force completion (fetch something)."""
-    run(feeds[-1])                      # warmup/compile
+def timed(run, feeds, rounds=TIMING_ROUNDS, fetch=None):
+    """Average seconds per call with PIPELINED dispatch: the calls are
+    issued back-to-back (each on different data, so the tunnel's
+    dedupe can't drop any) and completion is forced once at the end by
+    fetching every call's result. This measures sustained device
+    throughput; the old per-call-fetch scheme paid the tunnel's ~30 ms
+    dispatch+fetch round-trip on every call (measured via a trivial
+    jit: 29.6 ms)."""
+    if fetch is None:
+        fetch = lambda o: o
+    fetch(run(feeds[-1]))               # warmup/compile
     t0 = time.time()
-    for i in range(rounds):
-        run(feeds[i % len(feeds)])
+    outs = [run(feeds[i % len(feeds)]) for i in range(rounds)]
+    for o in outs:
+        fetch(o)
     return (time.time() - t0) / rounds
 
 
@@ -289,15 +297,17 @@ def main():
         return y[:, -1].sum()
 
     # ---- forward-only ---------------------------------------------------
-    t_f32 = timed(lambda x: float(checksum(fwd_f32(params, x))), feeds)
+    t_f32 = timed(lambda x: checksum(fwd_f32(params, x)), feeds, fetch=float)
     log(f"forward f32: {t_f32 * 1000:.0f} ms -> "
         f"{total_audio_s / t_f32:.0f} audio-s/s")
-    t_bf16 = timed(lambda x: float(checksum(fwd_bf16(params_bf, x))), feeds)
+    t_bf16 = timed(lambda x: checksum(fwd_bf16(params_bf, x)), feeds,
+                   fetch=float)
     log(f"forward bf16: {t_bf16 * 1000:.0f} ms -> "
         f"{total_audio_s / t_bf16:.0f} audio-s/s")
     try:
         t_bf16_pl = timed(
-            lambda x: float(checksum(fwd_bf16_pl(params_bf, x))), feeds)
+            lambda x: checksum(fwd_bf16_pl(params_bf, x)), feeds,
+            fetch=float)
         log(f"forward bf16+pallas-scan: {t_bf16_pl * 1000:.0f} ms -> "
             f"{total_audio_s / t_bf16_pl:.0f} audio-s/s")
     except Exception as e:     # older Mosaic / non-TPU: keep the XLA scan
@@ -312,9 +322,10 @@ def main():
 
     def decode_counts(lp):
         segs, counts = dec._decode_arrays(lp, lens)
-        return int(np.asarray(counts).sum())
+        return counts
 
-    t_dec = timed(decode_counts, lps)
+    t_dec = timed(decode_counts, lps,
+                  fetch=lambda c: int(np.asarray(c).sum()))
     log(f"decode: {t_dec * 1000:.0f} ms -> "
         f"{total_audio_s / t_dec:.0f} audio-s/s")
 
@@ -343,16 +354,17 @@ def main():
             lp = log_softmax(y, axis=-1)
         return decode_arrays(lp, lens)
 
-    def pipeline(x):
-        segs, counts = fused_fn(fparams, x)
+    def to_results(out):
+        segs, counts = out
         return dec._to_results(np.asarray(segs), np.asarray(counts))
 
-    pipeline(feeds[-1])
+    to_results(fused_fn(fparams, feeds[-1]))       # warmup/compile
     t0 = time.time()
-    results = None
-    for i in range(TIMING_ROUNDS):
-        results = pipeline(feeds[i % len(feeds)])
+    outs = [fused_fn(fparams, feeds[i % len(feeds)])
+            for i in range(TIMING_ROUNDS)]          # pipelined dispatch
+    all_results = [to_results(o) for o in outs]     # forces completion
     fused_elapsed = (time.time() - t0) / TIMING_ROUNDS
+    results = all_results[-1]
     ours_tput = total_audio_s / fused_elapsed
     log(f"fused: {ours_tput:.1f} audio-s/s "
         f"({fused_elapsed:.2f}s for {total_audio_s:.0f} audio-s)")

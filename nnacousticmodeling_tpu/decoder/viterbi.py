@@ -122,6 +122,7 @@ class ViterbiDecoder:
                     if backend == "pallas":
                         raise
         self._backtrace_jit = jax.jit(jax.vmap(self._pallas_backtrace))
+        self._pallas_decode_jit = None
 
     def _pallas_backtrace(self, packed, end_scores, length):
         """Backtrace over the Pallas kernel's permuted-lane packed
@@ -430,8 +431,12 @@ class ViterbiDecoder:
         # the Pallas kernel packs with the fixed minimum factor; longer
         # utterances take the XLA path with a wider dynamic pack
         if self._pallas_fwd is not None and lp.shape[1] < TIME_PACK - 1:
-            packed, end_scores = self._pallas_fwd.forward(lp, lengths)
-            return self._backtrace_jit(packed, end_scores, lengths)
+            # forward + backtrace as ONE program: one dispatch, and the
+            # backtrace launches without a host round-trip
+            if self._pallas_decode_jit is None:
+                self._pallas_decode_jit = jax.jit(self._pallas_decode_traced)
+            return self._pallas_decode_jit(
+                lp, jnp.asarray(lengths, jnp.int32))
         return self._decode_jit(lp, lengths)
 
     def decode_arrays_fn(self):

@@ -96,7 +96,7 @@ class PallasCubeViterbi:
     """
 
     def __init__(self, image, cube_order: str, pip: float, lmw: float,
-                 chunk: int = 8, interpret: bool = False):
+                 chunk: int = 8, n_utt: int = 2, interpret: bool = False):
         P = image.num_phones
         B = image.num_biphones
         if image.num_triphones != P ** 3 or B != P * P:
@@ -111,6 +111,13 @@ class PallasCubeViterbi:
         self.PS = _ceil(P, 8)
         PS = self.PS
         self.chunk = chunk
+        # utterances interleaved per kernel instance: their frame
+        # chains are independent so the scheduler can overlap them
+        # (small measured gain on v5e — the kernel is VPU-issue-bound,
+        # not latency-bound); frames past a shorter utterance's length
+        # compute garbage the backtrace never reads (same contract as
+        # the chunk-skip path)
+        self.n_utt = max(1, n_utt)
         self.interpret = interpret
 
         # --- cube views in (left, center, right) order ----------------
@@ -152,6 +159,13 @@ class PallasCubeViterbi:
         self._table_flat = jnp.asarray(table.reshape(-1))
         self._sel_lo = jnp.asarray(sel & 7)
         self._sel_hi = jnp.asarray(sel >> 3)
+        # adaptive group counts: how many 8-row gather groups each
+        # (state, 8-left-context band) actually needs — the global K8
+        # padding is driven by the worst (center, state) pair, but most
+        # bands stop well short of it (TIMIT: 59 of 90 groups)
+        hi = sel >> 3
+        self._g_sb = [[int(hi[s, sc * 8:sc * 8 + 8, :].max()) + 1
+                       for sc in range(PS // 8)] for s in range(3)]
 
         # --- transition planes, host-precomputed ------------------------
         # tps[which*3 + s][a, c*P + b]; tying check: constant per class
@@ -229,7 +243,8 @@ class PallasCubeViterbi:
     def _kernel(self, lens_ref, vals_ref, lo_ref, hi_ref, tps_ref, ea_ref,
                 fb_ref, eend_ref, lm_ref, p0_ref, tbase_ref,
                 packed_ref, end_ref, pp_ref, tt_ref, pc_ref):
-        P, PS, B, K8, G = self.P, self.PS, self.B, self.K8, self.G
+        P, PS, B, K8 = self.P, self.PS, self.B, self.K8
+        NU = self.n_utt
         chunk = self.chunk
         pip = jnp.float32(self._pip)
         u = pl.program_id(0)
@@ -237,22 +252,24 @@ class PallasCubeViterbi:
 
         @pl.when(ch == 0)
         def _init():
-            pp_ref[:] = jnp.full((3, PS, B), NEG_INF, jnp.float32)
-            tt_ref[:] = jnp.zeros((3, PS, B), jnp.int32)
-            pc_ref[:] = p0_ref[:]
+            pp_ref[:] = jnp.full((NU, 3, PS, B), NEG_INF, jnp.float32)
+            tt_ref[:] = jnp.zeros((NU, 3, PS, B), jnp.int32)
+            pc_ref[:] = jnp.broadcast_to(p0_ref[:], (NU, B))
 
         def obs_plane(tab, s):
             """(PS, B) observation scores for state s: grouped hardware
-            sublane gathers over the tiled class-value rows."""
+            sublane gathers over the tiled class-value rows, with
+            per-(state, band) adaptive group counts."""
             rows = []
             for sc in range(PS // 8):
                 r0 = sc * 8
                 lo_s = lo_ref[s, r0:r0 + 8, :]
                 part = jnp.take_along_axis(tab[s * K8:s * K8 + 8, :],
                                            lo_s, axis=0)
-                if G > 1:
+                g_max = self._g_sb[s][sc]
+                if g_max > 1:
                     hi_s = hi_ref[s, r0:r0 + 8, :]
-                    for g in range(1, G):
+                    for g in range(1, g_max):
                         gath = jnp.take_along_axis(
                             tab[s * K8 + 8 * g:s * K8 + 8 * g + 8, :],
                             lo_s, axis=0)
@@ -263,18 +280,17 @@ class PallasCubeViterbi:
 
         aidx = jax.lax.broadcasted_iota(jnp.int32, (PS, B), 0)
 
-        def frame(i, _):
-            k_glob = ch * chunk + i
-            vt = vals_ref[0, i]                          # (3*K8, P)
+        def frame_one(v, i, k_glob):
+            vt = vals_ref[v, i]                          # (3*K8, P)
             tab = pltpu.repeat(vt, P, axis=1)            # lane j: center j%P
 
             # entry scores: p_in[a, c*P + b] = p[b*P + a] + pip
-            prow = pc_ref[:]                             # (1, B)
+            prow = pc_ref[pl.ds(v, 1)]                   # (1, B)
             q = _dot(ea_ref[:] * prow, fb_ref[:])        # (PS, P) exact
             p_in = pltpu.repeat(q, P, axis=1) + pip      # (PS, B)
 
-            old0, old1, old2 = pp_ref[0], pp_ref[1], pp_ref[2]
-            t0o, t1o, t2o = tt_ref[0], tt_ref[1], tt_ref[2]
+            old0, old1, old2 = pp_ref[v, 0], pp_ref[v, 1], pp_ref[v, 2]
+            t0o, t1o, t2o = tt_ref[v, 0], tt_ref[v, 1], tt_ref[v, 2]
 
             # states updated from pre-frame snapshots (C++ :167-190)
             go2 = old1 + tps_ref[4]
@@ -295,8 +311,8 @@ class PallasCubeViterbi:
             tt0 = jnp.where(take0,
                             jnp.full((PS, B), k_glob - 1, jnp.int32), t0o)
 
-            pp_ref[0], pp_ref[1], pp_ref[2] = pp0, pp1, pp2
-            tt_ref[0], tt_ref[1], tt_ref[2] = tt0, tt1, tt2
+            pp_ref[v, 0], pp_ref[v, 1], pp_ref[v, 2] = pp0, pp1, pp2
+            tt_ref[v, 0], tt_ref[v, 1], tt_ref[v, 2] = tt0, tt1, tt2
 
             # per-biphone export: max over the left-context sublanes;
             # first-max tie-break matches the C++ strict-< update order
@@ -307,19 +323,28 @@ class PallasCubeViterbi:
             bt = jnp.sum(jnp.where(aidx == arg, tt2, 0),
                          axis=0, keepdims=True)
             tri = arg * self._a_coef + tbase_ref[:]
-            packed_ref[0, pl.ds(i, 1), :] = tri * TIME_PACK + bt + 1
+            packed_ref[v, pl.ds(i, 1), :] = tri * TIME_PACK + bt + 1
             pnew = mx + lm_ref[:]
-            pc_ref[:] = pnew
+            pc_ref[pl.ds(v, 1)] = pnew
             if self._end_slice is not None:
-                end_ref[0, pl.ds(i, 1), :] = (
+                end_ref[v, pl.ds(i, 1), :] = (
                     pnew[:, self._end_slice:self._end_slice + P])
             else:
-                end_ref[0, pl.ds(i, 1), :] = _dot(pnew, eend_ref[:])
+                end_ref[v, pl.ds(i, 1), :] = _dot(pnew, eend_ref[:])
+
+        def frame(i, _):
+            k_glob = ch * chunk + i
+            for v in range(NU):
+                frame_one(v, i, k_glob)
             return 0
 
-        # skip chunks entirely past this utterance's last frame: the
-        # backtrace never reads packed/end rows at t >= length
-        @pl.when(ch * chunk < lens_ref[u])
+        # skip chunks entirely past the interleaved utterances' last
+        # frame: the backtrace never reads packed/end rows at t >= length
+        max_len = lens_ref[u * NU]
+        for v in range(1, NU):
+            max_len = jnp.maximum(max_len, lens_ref[u * NU + v])
+
+        @pl.when(ch * chunk < max_len)
         def _run():
             jax.lax.fori_loop(0, chunk, frame, 0)
 
@@ -327,14 +352,19 @@ class PallasCubeViterbi:
     def _forward_impl(self, lp: jax.Array, lengths: jax.Array
                       ) -> Tuple[jax.Array, jax.Array]:
         P, PS, B, K8, chunk = self.P, self.PS, self.B, self.K8, self.chunk
+        NU = self.n_utt
         U, T, S = lp.shape
+        lengths = jnp.asarray(lengths, jnp.int32)
         Tp = -(-T // chunk) * chunk
-        if Tp != T:
-            lp = jnp.pad(lp, ((0, 0), (0, Tp - T), (0, 0)))
+        Up = -(-U // NU) * NU
+        if Tp != T or Up != U:
+            lp = jnp.pad(lp, ((0, Up - U), (0, Tp - T), (0, 0)))
+        if Up != U:
+            lengths = jnp.pad(lengths, (0, Up - U))
         # distinct-pdf score table per frame, gathered in XLA
         vals = jnp.take(lp, self._table_flat, axis=2,
                         indices_are_sorted=False, unique_indices=False)
-        vals = vals.reshape(U, Tp, 3 * K8, P)
+        vals = vals.reshape(Up, Tp, 3 * K8, P)
 
         const = lambda u, c, lens: (0, 0)
         const3 = lambda u, c, lens: (0, 0, 0)
@@ -344,9 +374,9 @@ class PallasCubeViterbi:
             self._kernel,
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=1,
-                grid=(U, Tp // chunk),
+                grid=(Up // NU, Tp // chunk),
                 in_specs=[
-                    pl.BlockSpec((1, chunk, 3 * K8, P),
+                    pl.BlockSpec((NU, chunk, 3 * K8, P),
                                  lambda u, c, lens: (u, c, 0, 0),
                                  memory_space=pltpu.VMEM),
                     pl.BlockSpec((3, PS, B), const3,
@@ -363,29 +393,29 @@ class PallasCubeViterbi:
                     pl.BlockSpec((1, B), const, memory_space=pltpu.VMEM),
                 ],
                 out_specs=[
-                    pl.BlockSpec((1, chunk, B), lambda u, c, lens: (u, c, 0),
+                    pl.BlockSpec((NU, chunk, B), lambda u, c, lens: (u, c, 0),
                                  memory_space=pltpu.VMEM),
-                    pl.BlockSpec((1, chunk, P), lambda u, c, lens: (u, c, 0),
+                    pl.BlockSpec((NU, chunk, P), lambda u, c, lens: (u, c, 0),
                                  memory_space=pltpu.VMEM),
                 ],
                 scratch_shapes=[
-                    pltpu.VMEM((3, PS, B), jnp.float32),   # pp
-                    pltpu.VMEM((3, PS, B), jnp.int32),     # tt
-                    pltpu.VMEM((1, B), jnp.float32),       # biphone scores
+                    pltpu.VMEM((NU, 3, PS, B), jnp.float32),  # pp
+                    pltpu.VMEM((NU, 3, PS, B), jnp.int32),    # tt
+                    pltpu.VMEM((NU, B), jnp.float32),         # biphone scores
                 ],
             ),
             out_shape=[
-                jax.ShapeDtypeStruct((U, Tp, B), jnp.int32),
-                jax.ShapeDtypeStruct((U, Tp, P), jnp.float32),
+                jax.ShapeDtypeStruct((Up, Tp, B), jnp.int32),
+                jax.ShapeDtypeStruct((Up, Tp, P), jnp.float32),
             ],
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("arbitrary", "arbitrary"),
             ),
             interpret=self.interpret,
-        )(jnp.asarray(lengths, jnp.int32), vals, self._sel_lo,
+        )(lengths, vals, self._sel_lo,
           self._sel_hi, self._tps, self._Ea, self._Fb, eend,
           self._lm, self._p0, self._tri_base)
-        return packed[:, :T], end[:, :T]
+        return packed[:U, :T], end[:U, :T]
 
     def forward(self, lp: jax.Array, lengths=None
                 ) -> Tuple[jax.Array, jax.Array]:

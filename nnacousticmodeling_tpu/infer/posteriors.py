@@ -121,7 +121,12 @@ def rnn_log_posteriors(
         for beg in range(0, len(utt_ids), batch):
             ids = utt_ids[beg:beg + batch]
             bs = len(ids)
-            xs = np.zeros((batch, b, dim), dtype=np.float32)
+            # size the (typically final) remainder group to its own
+            # rounded-up row count instead of the full ``batch`` — a
+            # 5-utterance tail pays 8 rows, not 64 (one extra compile
+            # per distinct padded size, bounded by log2 sizes)
+            rows = min(batch, max(8, 1 << (bs - 1).bit_length()))
+            xs = np.zeros((rows, b, dim), dtype=np.float32)
             for row, u in enumerate(ids):
                 frames = x[offsets[u]:offsets[u + 1]]
                 if timedelay > 0:

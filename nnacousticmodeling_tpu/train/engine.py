@@ -73,6 +73,9 @@ class TrainConfig:
     # each minibatch takes one frame from each of B streams over the
     # sentence-shuffled corpus instead of an iid frame permutation
     shuffle_sequences: bool = False
+    # called after each epoch's snapshot write as hook(stage, epoch);
+    # fault-injection hook for crash/preemption testing
+    epoch_hook: Optional[Callable[[int, int], None]] = None
 
 
 @dataclass
@@ -85,11 +88,15 @@ def _snapshot_file(path):
     return path if path.endswith(".npz") else path + ".npz"
 
 
-def _save_snapshot(path, params, opt_state, stage, epoch, best_val):
+def _save_snapshot(path, params, opt_state, stage, epoch, best_val,
+                   key=None, rng_np=None, best_params=None, stopped=False,
+                   rnn_state=None):
     """Full training state: params (by path keys), optimizer leaves (by
-    index), and scalar progress markers. On resume, the best-model
-    tracking of the interrupted stage restarts from the snapshot epoch
-    (only best_val is carried, not the best params)."""
+    index), scalar progress markers, and — for bit-deterministic resume
+    — the jax rng key, the numpy bit-generator state, and the running
+    best-validation params. A resumed run then replays the exact epoch
+    trajectory an uninterrupted run would have produced (shuffles,
+    dropout, and best-model selection included)."""
     path = _snapshot_file(path)
     from .checkpoint import _path_str
     flat = jax.tree_util.tree_flatten_with_path(params)[0]
@@ -100,6 +107,23 @@ def _save_snapshot(path, params, opt_state, stage, epoch, best_val):
     blob["__epoch__"] = np.asarray(epoch)
     blob["__best_val__"] = np.asarray(
         best_val if best_val is not None else np.nan)
+    blob["__stopped__"] = np.asarray(bool(stopped))
+    if key is not None:
+        blob["__key__"] = np.asarray(key)
+    if rng_np is not None:
+        import json
+        state = json.dumps(rng_np.bit_generator.state)
+        blob["__rng_state__"] = np.frombuffer(state.encode(), dtype=np.uint8)
+    if best_params is not None:
+        bflat = jax.tree_util.tree_flatten_with_path(best_params)[0]
+        for pth, leaf in bflat:
+            blob["__best__" + _path_str(pth)] = np.asarray(leaf)
+    if rnn_state is not None:
+        # recurrent stages thread the B-stream hidden state across
+        # epochs (streams never reset, orcus_chainer_util.py:66); resume
+        # must continue from it, not from zeros
+        for i, leaf in enumerate(jax.tree_util.tree_leaves(rnn_state)):
+            blob[f"__st_{i}__"] = np.asarray(leaf)
     # crash-safe: write to a sibling tmp file and rename into place, so
     # a kill mid-save can never leave a truncated snapshot under the
     # real name (rename within a directory is atomic on POSIX)
@@ -305,13 +329,46 @@ def train_network(
                 from ..parallel.mesh import param_shardings
                 params = jax.device_put(params, param_shardings(
                     config.mesh, params, config.model_axis))
-            if resume_epoch < stage.epoch:
+            # bit-deterministic resume: restore the rng streams and the
+            # running best-model tracking exactly as the uninterrupted
+            # run would have them (absent in pre-r04 snapshots)
+            if "__key__" in resume_blob:
+                key = jnp.asarray(resume_blob["__key__"])
+            if "__rng_state__" in resume_blob:
+                import json
+                rng_np.bit_generator.state = json.loads(
+                    resume_blob["__rng_state__"].tobytes().decode())
+            from .checkpoint import _path_str
+            flatp, treedef_p = jax.tree_util.tree_flatten_with_path(params)
+            bkeys = ["__best__" + _path_str(pth) for pth, _ in flatp]
+            if all(k in resume_blob for k in bkeys):
+                bleaves = [jnp.asarray(resume_blob[k]) for k in bkeys]
+                best_params = jax.tree_util.tree_unflatten(
+                    treedef_p, bleaves)
+                if config.mesh is not None:
+                    from ..parallel.mesh import param_shardings
+                    best_params = jax.device_put(
+                        best_params, param_shardings(
+                            config.mesh, best_params, config.model_axis))
+            stage_stopped = bool(resume_blob.get(
+                "__stopped__", np.asarray(False)))
+            if resume_epoch < stage.epoch and not stage_stopped:
                 opt_state = _restore_opt_state(resume_blob, opt_state)
+                if state is not None and "__st_0__" in resume_blob:
+                    sleaves, streedef = jax.tree_util.tree_flatten(state)
+                    state = jax.tree_util.tree_unflatten(streedef, [
+                        jnp.asarray(resume_blob[f"__st_{i}__"])
+                        for i in range(len(sleaves))])
                 bv = float(resume_blob["__best_val__"])
                 best_val = bv if np.isfinite(bv) else None
                 start_epoch = resume_epoch
             else:
-                start_epoch = stage.epoch   # stage fully done pre-crash
+                # stage fully done pre-crash (epoch budget exhausted or
+                # early-stopped — the snapshot records the stop)
+                start_epoch = stage.epoch
+                stopped_early = stage_stopped
+                bv = float(resume_blob["__best_val__"])
+                best_val = bv if np.isfinite(bv) else None
             resume_blob = None
         for epoch in range(start_epoch, stage.epoch):
             t0 = time.time()
@@ -333,12 +390,7 @@ def train_network(
             log("  " + "  ".join(f"{k}={v:.4f}" if isinstance(v, float) else
                                  f"{k}={v}" for k, v in entry.items()))
 
-            if config.snapshot_path and jax.process_index() == 0:
-                # multi-host: one writer (every process still READS the
-                # shared snapshot on resume)
-                _save_snapshot(config.snapshot_path, params, opt_state,
-                               si, epoch + 1, best_val)
-
+            stop = False
             if use_val:
                 val = entry["validation/main/loss"]
                 if not stage.early_stopping:
@@ -354,9 +406,36 @@ def train_network(
                         stop = (best_val - val) < -0.001
                         if val < best_val:
                             best_val = val
-                        if stop:
-                            stopped_early = True
-                            break
+
+            if config.snapshot_path:
+                # the stream state is sharded over the data axis; on a
+                # multi-process mesh replicate it first so the writer
+                # can read it (the all-gather is collective — EVERY
+                # process must run it, only process 0 then writes)
+                snap_state = state
+                if (state is not None and config.mesh is not None
+                        and jax.process_count() > 1):
+                    from jax.sharding import NamedSharding
+                    from jax.sharding import PartitionSpec as _P
+                    rep = NamedSharding(config.mesh, _P())
+                    snap_state = jax.jit(
+                        lambda t: t,
+                        out_shardings=jax.tree_util.tree_map(
+                            lambda _: rep, state))(state)
+                if jax.process_index() == 0:
+                    # multi-host: one writer (every process still READS
+                    # the shared snapshot on resume). Saved AFTER the
+                    # best-model update so a resume replays the
+                    # uninterrupted trajectory exactly (rng included).
+                    _save_snapshot(config.snapshot_path, params, opt_state,
+                                   si, epoch + 1, best_val, key=key,
+                                   rng_np=rng_np, best_params=best_params,
+                                   stopped=stop, rnn_state=snap_state)
+            if config.epoch_hook is not None:
+                config.epoch_hook(si, epoch + 1)
+            if stop:
+                stopped_early = True
+                break
 
         if not stage.early_stopping and best_params is not None:
             # fixed-epoch stages keep the best-validation model

@@ -249,6 +249,21 @@ def train_folds_parallel(
             fold_mesh = dict(zip(mesh.axis_names,
                                  mesh.devices.shape))[fold_axis]
 
+        multiproc = mesh is not None and jax.process_count() > 1
+
+        def host_readable(tree):
+            """Host-readable stack: multi-process fold-sharded arrays
+            are not addressable everywhere, so replicate once (stop
+            events are rare); single-process trees pass through."""
+            if not multiproc:
+                return tree
+            from jax.sharding import NamedSharding, PartitionSpec as Pspec
+            rep = NamedSharding(mesh, Pspec())
+            return jax.jit(
+                lambda t: t,
+                out_shardings=jax.tree_util.tree_map(lambda _: rep, tree),
+            )(tree)
+
         def slice_fold(tree, k):
             return jax.tree_util.tree_map(lambda l: np.asarray(l[k]), tree)
 
@@ -311,25 +326,44 @@ def train_folds_parallel(
                             pick, best_params, params)
             log(msg)
             if not active.any():
+                readable = host_readable(params)
                 for i, k in enumerate(fold_ids):
-                    stash[k] = slice_fold(params, i)
+                    stash[k] = slice_fold(readable, i)
                 fold_ids = np.arange(0)
                 break
             # compact: drop stopped folds from the stacked computation
             # (one retrace of `update`/`evaluate` per stop event); with
-            # a fold-sharded mesh only when divisibility allows it
+            # a fold-sharded mesh only when divisibility allows it —
+            # including meshes whose fold axis crosses the process
+            # boundary (the compacted stack is resharded over the same
+            # fold axis under jit)
             n_act = int(active.sum())
             if compact and stage.early_stopping and n_act < len(fold_ids) \
-                    and n_act % fold_mesh == 0 \
-                    and jax.process_count() == 1:
+                    and n_act % fold_mesh == 0:
                 keep = np.nonzero(active)[0]
+                readable = host_readable(params)
                 for i in np.nonzero(~active)[0]:
-                    stash[int(fold_ids[i])] = slice_fold(params, i)
+                    stash[int(fold_ids[i])] = slice_fold(readable, i)
 
-                def take(tree):
-                    kp = jnp.asarray(keep)
-                    return shard_folds(jax.tree_util.tree_map(
-                        lambda l: jnp.take(l, kp, axis=0), tree))
+                kp = jnp.asarray(keep)
+                if multiproc:
+                    from jax.sharding import (NamedSharding,
+                                              PartitionSpec as Pspec)
+
+                    def take(tree):
+                        out_sh = jax.tree_util.tree_map(
+                            lambda l: NamedSharding(
+                                mesh, Pspec(fold_axis,
+                                            *([None] * (l.ndim - 1)))),
+                            tree)
+                        return jax.jit(
+                            lambda t: jax.tree_util.tree_map(
+                                lambda l: jnp.take(l, kp, axis=0), t),
+                            out_shardings=out_sh)(tree)
+                else:
+                    def take(tree):
+                        return shard_folds(jax.tree_util.tree_map(
+                            lambda l: jnp.take(l, kp, axis=0), tree))
                 params = take(params)
                 opt_state = take(opt_state)
                 if state is not None:
@@ -345,8 +379,9 @@ def train_folds_parallel(
         # next stage / final return (stage boundaries reset `active`)
         if stash:
             per_fold = dict(stash)
+            readable = host_readable(params) if len(fold_ids) else params
             for i, k in enumerate(fold_ids):
-                per_fold[int(k)] = slice_fold(params, i)
+                per_fold[int(k)] = slice_fold(readable, i)
             params = shard_folds(jax.tree_util.tree_map(
                 lambda *leaves: jnp.stack(leaves),
                 *[per_fold[k] for k in range(num_folds)]))

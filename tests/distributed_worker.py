@@ -94,11 +94,39 @@ def main():
                         for l in jax.tree_util.tree_leaves(p))), 4)
         for p in fold_params]
 
+    # ---- 4. early-stop compaction across the process boundary ---------
+    # stopped folds must drop out of the vmapped stack even when the
+    # fold axis spans processes (VERDICT r03 item 5); the compacted
+    # run's trained params must equal the masked-lane run's exactly
+    xdev = rng.standard_normal((64, 12)).astype(np.float32)
+    ydev = rng.integers(0, 10, 64).astype(np.int32)
+    utt_folds4 = np.arange(16) % 4
+
+    def run_es(compact):
+        logs = []
+        ecfg = TrainConfig(
+            stages=[TrainStage(epoch=8, optimizer="momentumsgd",
+                               batch_size=16, lr=0.5, early_stopping=True)],
+            seed=0, log=logs.append, use_validation=True)
+        ps = train_folds_parallel(
+            net, x, y, offsets, utt_folds4, 4, ecfg, x_dev=xdev, y_dev=ydev,
+            mesh=hmesh, compact=compact)
+        sums = [round(float(sum(np.abs(l).sum()
+                                for l in jax.tree_util.tree_leaves(p))), 4)
+                for p in ps]
+        return sums, any("compacted" in l for l in logs)
+
+    es_compact_sums, es_compacted = run_es(True)
+    es_masked_sums, _ = run_es(False)
+
     print("RESULT " + json.dumps({
         "pid": pid,
         "losses": [round(float(v), 6) for v in losses],
         "step_loss": round(float(step_loss), 6),
         "fold_sums": fold_sums,
+        "es_compact_sums": es_compact_sums,
+        "es_masked_sums": es_masked_sums,
+        "es_compacted": es_compacted,
     }), flush=True)
 
 

@@ -128,6 +128,79 @@ def test_hierarchical_fold_data_mesh(worker_results):
                                                            rel=2e-4)
 
 
+FAULT_WORKER = str(Path(__file__).parent / "fault_worker.py")
+
+
+def _launch_fault(snapshot, crash_epoch, resume, timeout=420):
+    port = _free_port()
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    procs = [
+        subprocess.Popen(
+            [sys.executable, FAULT_WORKER, f"127.0.0.1:{port}", "2", str(p),
+             snapshot, str(crash_epoch), "1" if resume else "0"],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env,
+            text=True)
+        for p in range(2)
+    ]
+    results, rcs = {}, []
+    for p, proc in enumerate(procs):
+        try:
+            out, err = proc.communicate(timeout=timeout)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        rcs.append(proc.returncode)
+        if proc.returncode == 0:
+            for line in out.splitlines():
+                if line.startswith("RESULT "):
+                    r = json.loads(line[len("RESULT "):])
+                    results[r["pid"]] = r
+        elif proc.returncode != 7:
+            raise AssertionError(
+                f"worker {p} rc={proc.returncode}\nstderr:\n{err[-3000:]}")
+    return rcs, results
+
+
+def test_fault_injection_resume(tmp_path):
+    """Kill both workers mid-stage (hard os._exit right after epoch 2's
+    snapshot — a pod preemption), relaunch with --resume, and require
+    the resumed run to land EXACTLY where the uninterrupted run lands:
+    same per-epoch losses for the replayed epochs and identical final
+    params (snapshots carry params, optimizer state, best-model
+    tracking, and both rng streams — VERDICT r03 item 7)."""
+    # uninterrupted reference run (its own snapshot dir)
+    rcs, ref = _launch_fault(str(tmp_path / "ref.npz"), -1, False)
+    assert rcs == [0, 0] and 0 in ref
+    # crashed run: both processes must die with the injected code
+    snap = str(tmp_path / "snap.npz")
+    rcs, res = _launch_fault(snap, 2, False)
+    assert rcs == [7, 7] and not res
+    assert (tmp_path / "snap.npz").exists()
+    # resume: completes and replays the uninterrupted trajectory
+    rcs, res = _launch_fault(snap, -1, True)
+    assert rcs == [0, 0] and 0 in res and 1 in res
+    # epochs 3..4 ran after resume, matching the reference exactly
+    replayed = res[0]["history"]
+    assert [h[1] for h in replayed] == [3, 4]
+    assert replayed == ref[0]["history"][2:]
+    assert res[0]["param_sum"] == ref[0]["param_sum"]
+    assert res[1]["param_sum"] == res[0]["param_sum"]
+
+
+def test_multiprocess_fold_compaction(worker_results):
+    """Early-stopped folds are compacted out of the vmapped stack even
+    when the fold axis crosses the process boundary (VERDICT r03 item
+    5): a compaction event must fire, both processes must agree, and
+    the trained params must equal the masked-frozen-lane run exactly."""
+    r0, r1 = worker_results[0], worker_results[1]
+    assert r0["es_compacted"] and r1["es_compacted"]
+    assert r0["es_compact_sums"] == r1["es_compact_sums"]
+    assert r0["es_compact_sums"] == pytest.approx(r0["es_masked_sums"],
+                                                  rel=1e-6)
+
+
 def test_train_cli_distributed_flag(tmp_path):
     """The user-facing pod wiring (scripts/pod/launch_slurm.sh):
     train_cli --distributed/--coordinator must bring up jax.distributed

@@ -98,3 +98,66 @@ def test_fold_sharded_ensemble_matches_host_math(rng):
     got = np.asarray(forward({"master": None, "folds": stacked, "rpl": None}, x))
     expected = sum(np.asarray(net.apply(p, x)) for p in folds) / 4
     np.testing.assert_allclose(got, expected, atol=1e-5)
+
+
+# --- pipeline parallelism (parallel/pipeline.py) ------------------------
+
+def test_pipeline_forward_matches_single_device(rng):
+    """2- and 4-stage GPipe pipelines over the virtual mesh must equal
+    the single-device MLP forward exactly (pure data movement + the
+    same matmul order per layer)."""
+    import jax.numpy as jnp
+    from nnacousticmodeling_tpu.parallel.pipeline import PipelinedMLP
+
+    net = get_network("ff", 5, [32], 11)
+    params = net.init(jax.random.PRNGKey(0), 12)
+    x = jnp.asarray(rng.standard_normal((24, 12)).astype(np.float32))
+    want = np.asarray(net.apply(params, x))
+    for stages, micro in ((2, 4), (4, 3)):
+        pp = PipelinedMLP(net=net, mesh=make_mesh({"stage": stages}),
+                          num_micro=micro)
+        got = np.asarray(jax.jit(pp.apply)(params, x))
+        np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_pipeline_grads_match_single_device(rng):
+    """Gradients THROUGH the pipeline (shard_map + ppermute) must match
+    the single-device gradients — the PP training story."""
+    import jax.numpy as jnp
+    import optax
+    from nnacousticmodeling_tpu.parallel.pipeline import PipelinedMLP
+
+    net = get_network("ff", 4, [16], 7)
+    params = net.init(jax.random.PRNGKey(1), 6)
+    x = jnp.asarray(rng.standard_normal((12, 6)).astype(np.float32))
+    y = jnp.asarray(rng.integers(0, 7, 12).astype(np.int32))
+    pp = PipelinedMLP(net=net, mesh=make_mesh({"stage": 2}), num_micro=3)
+
+    def loss_pp(p):
+        return optax.softmax_cross_entropy_with_integer_labels(
+            pp.apply(p, x), y).mean()
+
+    def loss_sd(p):
+        return optax.softmax_cross_entropy_with_integer_labels(
+            net.apply(p, x), y).mean()
+
+    g_pp = jax.grad(loss_pp)(params)
+    g_sd = jax.grad(loss_sd)(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g_pp),
+                    jax.tree_util.tree_leaves(g_sd)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_pipeline_rejects_bad_shapes(rng):
+    from nnacousticmodeling_tpu.parallel.pipeline import PipelinedMLP
+    import jax.numpy as jnp
+
+    net = get_network("ff", 2, [8], 5)
+    params = net.init(jax.random.PRNGKey(0), 4)
+    pp = PipelinedMLP(net=net, mesh=make_mesh({"stage": 4}), num_micro=2)
+    with pytest.raises(ValueError):        # 2 layers < 4 stages
+        pp.apply(params, jnp.zeros((4, 4)))
+    pp2 = PipelinedMLP(net=net, mesh=make_mesh({"stage": 2}), num_micro=5)
+    with pytest.raises(ValueError):        # batch 4 not divisible by 5
+        pp2.apply(params, jnp.zeros((4, 4)))
