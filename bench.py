@@ -183,6 +183,27 @@ def bench_training(rng, peaks):
         log(f"train lstm {tag}: {n / t:.0f} frames/s, "
             f"{t / STEPS * 1e3:.1f} ms/step, MFU {fl * n / t / 1e12 / peak:.3f}")
 
+    # --- custom-VJP weight-resident training scan -----------------------
+    # (ops/rnn_pallas.lstm_scan_pallas_train: W_h^T and the f32 dW
+    # accumulator stay VMEM-resident across all timesteps; the XLA
+    # autodiff scan re-streams ~50 MB/step of weights+accumulator)
+    lstm_pl = dataclasses.replace(lstm, scan_impl="pallas")
+    try:
+        for dtype, peak in (("float32", peaks["f32"]),
+                            ("bfloat16", peaks["bf16"])):
+            t = run(lstm_pl, x, y, offsets, BSL, dtype)
+            tag = "bf16" if dtype == "bfloat16" else "f32"
+            out[f"train_lstm_frames_per_s_{tag}_pallas"] = round(n / t, 0)
+            out[f"train_lstm_step_ms_{tag}_pallas"] = round(
+                t / STEPS * 1000, 2)
+            out[f"train_lstm_mfu_{tag}_pallas"] = round(
+                fl * n / t / 1e12 / peak, 3)
+            log(f"train lstm {tag} pallas-vjp: {n / t:.0f} frames/s, "
+                f"{t / STEPS * 1e3:.1f} ms/step, "
+                f"MFU {fl * n / t / 1e12 / peak:.3f}")
+    except Exception as e:          # non-TPU / older Mosaic
+        log(f"pallas training scan unavailable ({type(e).__name__})")
+
     # --- the per-minibatch dispatch loop this round replaced ------------
     # (same math: jitted update per TBPTT minibatch, host loop between)
     params = lstm.init(jax.random.PRNGKey(0), DIM)

@@ -30,6 +30,16 @@ NnamDecoder* nnam_decoder_create(const char* image_path, float pip,
 
 void nnam_decoder_destroy(NnamDecoder* h) { delete h; }
 
+// Beam pruning (see Decoder::set_beam); beam <= 0 disables.
+void nnam_decoder_set_beam(NnamDecoder* h, float beam) {
+  h->decoder->set_beam(beam);
+}
+
+// Triphone updates skipped by beam pruning so far (for tests/stats).
+int64_t nnam_decoder_skipped_updates(const NnamDecoder* h) {
+  return h->decoder->skipped_updates();
+}
+
 int nnam_decoder_num_states(const NnamDecoder* h) {
   return h->image.num_states;
 }

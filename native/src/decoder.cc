@@ -107,6 +107,14 @@ std::vector<Segment> Decoder::Decode(const float* lp, int32_t num_frames,
   std::vector<int32_t> bp_tri(size_t(num_frames) * nb);
   std::vector<int32_t> bp_time(size_t(num_frames) * nb);
 
+  // beam pruning: dead scores are EXACTLY kNegInf (float absorption:
+  // -1e20 + obs == -1e20), so skipping an all-dead triphone's update
+  // is bit-identical to computing it — the TPU decoder computes them
+  // and both agree on every live value
+  const bool beam_on = beam_ > 0.0f;
+  const float dead = kNegInf * 0.5f;
+  int64_t skipped = 0;
+
   for (int32_t k = 0; k < num_frames; ++k) {
     const float* obs = lp + size_t(k) * num_states;
     float* s0 = score.data();
@@ -118,6 +126,11 @@ std::vector<Segment> Decoder::Decode(const float* lp, int32_t num_frames,
 
     for (int32_t n = 0; n < nt; ++n) {
       const float in_score = p[img_.biphone_in[n]] + pip_;
+      if (beam_on && in_score <= dead && s0[n] <= dead && s1[n] <= dead &&
+          s2[n] <= dead) {
+        ++skipped;
+        continue;
+      }
       const int32_t* pdf = &img_.state_idxs[size_t(3) * n];
       const float* self_lp = &img_.tp_selfloop[size_t(3) * n];
       const float* fwd_lp = &img_.tp_transition[size_t(3) * n];
@@ -171,7 +184,17 @@ std::vector<Segment> Decoder::Decode(const float* lp, int32_t num_frames,
       bt[b] = best_tri;
       bm[b] = e2[best_tri];
     }
+
+    if (beam_on) {
+      float pmax = kNegInf;
+      for (int32_t b = 0; b < nb; ++b) pmax = p[b] > pmax ? p[b] : pmax;
+      const float thr = pmax - beam_;
+      for (int32_t b = 0; b < nb; ++b) {
+        if (p[b] < thr) p[b] = kNegInf;
+      }
+    }
   }
+  if (skipped) skipped_.fetch_add(skipped, std::memory_order_relaxed);
 
   // final biphone: first max over phone end biphones
   float best = kNegInf;

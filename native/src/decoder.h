@@ -8,6 +8,7 @@
 // `phonerecog` CLI and as a ctypes-loadable library.
 #pragma once
 
+#include <atomic>
 #include <cstdint>
 #include <string>
 #include <vector>
@@ -48,6 +49,15 @@ class Decoder {
   // every phone entry.
   Decoder(const Image& image, float pip) : img_(image), pip_(pip) {}
 
+  // Beam pruning: after each frame's biphone export (+LM), biphone
+  // scores below (frame max - beam) are clamped to -inf, and triphones
+  // whose entry AND all three states are dead skip their update
+  // entirely (the actual host-side speedup). Scores of dead states are
+  // exactly -1e20 by float absorption, so a wide beam reproduces the
+  // exact un-pruned segments and any beam matches the TPU decoder's
+  // identical rule bit-for-bit. beam <= 0 disables (default).
+  void set_beam(float beam) { beam_ = beam; }
+
   // log_probs: (num_frames, num_states) row-major. Returns segments in
   // temporal order; empty on state-count mismatch.
   std::vector<Segment> Decode(const float* log_probs, int32_t num_frames,
@@ -55,9 +65,17 @@ class Decoder {
 
   const Image& image() const { return img_; }
 
+  // triphone updates skipped by beam pruning across all Decode calls
+  // (atomic: Decode runs on a thread pool)
+  int64_t skipped_updates() const {
+    return skipped_.load(std::memory_order_relaxed);
+  }
+
  private:
   const Image& img_;
   float pip_;
+  float beam_ = 0.0f;
+  mutable std::atomic<int64_t> skipped_{0};
 };
 
 }  // namespace nnam

@@ -37,11 +37,14 @@ std::string BaseName(const std::string& path) {
 }  // namespace
 
 int main(int argc, char** argv) {
-  if (argc != 6) {
+  if (argc != 6 && argc != 7) {
     std::fprintf(stderr,
-                 "Use: phonerecog test.scp image.img output.mlf PIP LMW\n"
+                 "Use: phonerecog test.scp image.img output.mlf PIP LMW "
+                 "[beam]\n"
                  "  test.scp - one binary float32 log-likelihood matrix "
-                 "(.lab) per line\n");
+                 "(.lab) per line\n"
+                 "  beam - optional beam width (prune biphones below "
+                 "frame-max - beam; 0/absent = exact)\n");
     return 1;
   }
   const char* scp_path = argv[1];
@@ -73,6 +76,7 @@ int main(int argc, char** argv) {
   }
 
   nnam::Decoder decoder(image, pip);
+  if (argc == 7) decoder.set_beam(std::strtof(argv[6], nullptr));
   std::vector<std::vector<nnam::Segment>> results(files.size());
   // vector<char>, not vector<bool>: the bitfield specialization
   // would make parallel writes to adjacent indices race

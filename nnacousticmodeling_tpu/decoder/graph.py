@@ -129,6 +129,37 @@ def build_image(
     )
 
 
+def cube_phone_names(image) -> List[str]:
+    """Per-PHONE names (index = 0-based phone id) of a dense cube image.
+
+    The image's ``phone_names`` are per-triphone; for cube images the
+    center phone of triphone 0 of each center-block gives the phone
+    name (order detected like ``ViterbiDecoder._detect_cube_order``)."""
+    P = image.num_phones
+    if image.num_triphones != P ** 3 or image.num_biphones != P * P:
+        raise ValueError("not a dense cube image")
+    a, b, c = np.meshgrid(np.arange(P), np.arange(P), np.arange(P),
+                          indexing="ij")
+    for order, (left, center) in (("abc", (a, b)), ("bac", (b, a))):
+        if np.array_equal(image.biphone_in, (left * P + center).reshape(-1)):
+            stride = P if order == "abc" else P * P
+            return [image.phone_names[p * stride] for p in range(P)]
+    raise ValueError("unrecognized cube order")
+
+
+def image_with_bigram_lm(image, lm_mat: np.ndarray):
+    """Copy of ``image`` with its per-biphone LM row replaced by the
+    (P, P) log P(b|a) matrix (biphone (a, b) = a*P + b, the builder's
+    layout) — lets ``evaluate --lm-from-mlf`` decode with an estimated
+    phone bigram instead of the image's stored LM."""
+    import dataclasses
+    lm_mat = np.asarray(lm_mat, dtype=np.float32)
+    if lm_mat.shape != (image.num_phones, image.num_phones):
+        raise ValueError(f"lm shape {lm_mat.shape} != "
+                         f"({image.num_phones}, {image.num_phones})")
+    return dataclasses.replace(image, lm=lm_mat.reshape(-1).copy())
+
+
 def estimate_bigram_lm(
     mlf_words: Dict[str, List[str]],
     phone_names: Sequence[str],

@@ -44,7 +44,8 @@ def build_native(force: bool = False) -> bool:
 class NativeDecoder:
     """Host-side decoder over a decoding-image file."""
 
-    def __init__(self, image_path: str, pip: float = 20.0, lmw: float = 1.0):
+    def __init__(self, image_path: str, pip: float = 20.0, lmw: float = 1.0,
+                 beam: Optional[float] = None):
         if not LIB_PATH.exists() and not build_native():
             raise RuntimeError("native decoder library is not built")
         self._lib = ctypes.CDLL(str(LIB_PATH))
@@ -62,13 +63,25 @@ class NativeDecoder:
             ctypes.c_void_p, ctypes.c_int, ctypes.c_char_p, ctypes.c_int]
         self._lib.nnam_decoder_destroy.argtypes = [ctypes.c_void_p]
 
+        self._lib.nnam_decoder_set_beam.argtypes = [
+            ctypes.c_void_p, ctypes.c_float]
+        self._lib.nnam_decoder_skipped_updates.restype = ctypes.c_int64
+        self._lib.nnam_decoder_skipped_updates.argtypes = [ctypes.c_void_p]
+
         self._h = self._lib.nnam_decoder_create(
             str(image_path).encode(), ctypes.c_float(pip),
             ctypes.c_float(lmw))
         if not self._h:
             raise RuntimeError(f"cannot load image {image_path}")
+        if beam is not None and beam > 0:
+            self._lib.nnam_decoder_set_beam(self._h, ctypes.c_float(beam))
         self.num_states = self._lib.nnam_decoder_num_states(self._h)
         self._names: dict = {}
+
+    @property
+    def skipped_updates(self) -> int:
+        """Triphone updates skipped by beam pruning (cumulative)."""
+        return int(self._lib.nnam_decoder_skipped_updates(self._h))
 
     def __del__(self):
         if getattr(self, "_h", None):

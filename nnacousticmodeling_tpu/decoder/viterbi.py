@@ -68,12 +68,20 @@ class ViterbiDecoder:
     """
 
     def __init__(self, image: HmmImage, pip: float = 20.0, lmw: float = 1.0,
-                 backend: str = "auto"):
+                 backend: str = "auto", beam: Optional[float] = None):
         self.image = image
         # the CLI contract passes -|PIP| to the recognizer
         # (evaluateModelForTest.py:124); Init then adds it on phone entry.
         self.pip = -abs(pip)
         self.lmw = lmw
+        # beam pruning: after each frame's biphone export (+LM), scores
+        # below (frame max - beam) clamp to NEG_INF. The same rule as
+        # the native decoder's (Decoder::set_beam) — identical decoded
+        # segments for the same beam, and a wide beam reproduces the
+        # exact search. None/<=0 disables. On TPU the compute stays
+        # dense (pruning is one select per frame, not a speedup — the
+        # speedup case is the host decoder's skip of all-dead triphones).
+        self.beam = float(beam) if beam is not None and beam > 0 else None
 
         img = image
         if img.num_triphones * TIME_PACK >= 2 ** 31:
@@ -116,7 +124,7 @@ class ViterbiDecoder:
                 try:
                     self._pallas_fwd = PallasCubeViterbi(
                         image, self._cube_order, pip=self.pip, lmw=lmw,
-                        interpret=not on_tpu)
+                        beam=self.beam, interpret=not on_tpu)
                     self.backend = "pallas"
                 except UnsupportedImage:
                     if backend == "pallas":
@@ -183,13 +191,21 @@ class ViterbiDecoder:
         vals = lp_t[self._obs_pdf_table]            # (P, 3, K) tiny gather
         onehot = jax.nn.one_hot(self._obs_sel, self._obs_k,
                                 dtype=lp_t.dtype)   # (.., 3, K)
+        # precision HIGHEST: the contraction is one-hot (exactly one
+        # nonzero term per output), but TPU DEFAULT precision multiplies
+        # in bf16 — which silently rounds every observation value and
+        # breaks float-exact parity with the gather-based Pallas kernel
+        # and the native decoder (caught by an on-TPU parity check;
+        # CPU backends multiply in f32 and never see it)
         if self._cube_order == "bac":
             # vals indexed by center phone = cube axis 0
             return jnp.einsum("bacsk,bsk->bacs", onehot, vals,
-                              preferred_element_type=jnp.float32)
+                              preferred_element_type=jnp.float32,
+                              precision=jax.lax.Precision.HIGHEST)
         # 'abc': center phone = cube axis 1
         return jnp.einsum("abcsk,bsk->abcs", onehot, vals,
-                          preferred_element_type=jnp.float32)
+                          preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGHEST)
 
     # ------------------------------------------------------------------
     def _time_pack_for(self, t: int) -> int:
@@ -288,6 +304,9 @@ class ViterbiDecoder:
                        + arg_a * P
                        + jax.lax.broadcasted_iota(jnp.int32, (P, P), 1))
             p_new = mx + lm                                  # (P,P) [b, c]
+            if self.beam is not None:
+                p_new = jnp.where(p_new >= jnp.max(p_new) - self.beam,
+                                  p_new, NEG_INF)
             packed = (tri * pack + (best_t + 1)).reshape(-1)
             end_scores = p_new.reshape(-1)[end_idxs]
             return (p_new, pp_new, tt_new), (packed, end_scores)
@@ -342,6 +361,9 @@ class ViterbiDecoder:
                                jnp.take_along_axis(fanin, col[:, None], axis=1)[:, 0],
                                0)                          # C++ default mxi=0
             p_new = mx + lm
+            if self.beam is not None:
+                p_new = jnp.where(p_new >= jnp.max(p_new) - self.beam,
+                                  p_new, NEG_INF)
             best_t = tt_new[best_i, 2]
             packed = best_i * pack + (best_t + 1)          # entry time >= -1
             end_scores = p_new[self._end_idxs]             # (P,)

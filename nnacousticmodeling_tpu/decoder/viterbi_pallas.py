@@ -48,9 +48,14 @@ entry_time + 1``) and per-frame end-biphone scores the XLA path
 produces, except that the backpointer lane axis is right-major — the
 ``end_lane``/``bi_in_lane`` attributes give the backtrace the
 original-id -> lane maps, and ``lane_map`` converts whole rows for
-tests.  Scores are float-for-float identical to the XLA path and the
-native decoder: gathers and tilings move bits, and the single matmul
-is a one-hot contraction.
+tests.  Backpointers are bit-identical to the XLA path (verified on
+real TPU against the einsum-HIGHEST XLA path); gathers and tilings
+move bits and the single matmul is a one-hot contraction, so scores
+agree to the last ulp on CPU and within 1 ulp on TPU hardware (the
+entry rearrangement runs through the MXU's f32 pass decomposition,
+the XLA path broadcasts the row directly — ~0.1% of end-score entries
+drift by one ulp over a 64-frame utterance, never flipping a
+backpointer compare).
 """
 
 from __future__ import annotations
@@ -96,7 +101,8 @@ class PallasCubeViterbi:
     """
 
     def __init__(self, image, cube_order: str, pip: float, lmw: float,
-                 chunk: int = 8, n_utt: int = 2, interpret: bool = False):
+                 chunk: int = 8, n_utt: int = 2, beam=None,
+                 interpret: bool = False):
         P = image.num_phones
         B = image.num_biphones
         if image.num_triphones != P ** 3 or B != P * P:
@@ -237,6 +243,9 @@ class PallasCubeViterbi:
             lane_map[np.asarray(image.biphone_in)].astype(np.int32))
 
         self._pip = float(pip)
+        # beam pruning (ViterbiDecoder.beam rule): clamp exported
+        # biphone scores below (frame max - beam) to NEG_INF
+        self._beam = float(beam) if beam is not None and beam > 0 else None
         self._fwd = jax.jit(self._forward_impl)
 
     # ------------------------------------------------------------------
@@ -325,6 +334,9 @@ class PallasCubeViterbi:
             tri = arg * self._a_coef + tbase_ref[:]
             packed_ref[v, pl.ds(i, 1), :] = tri * TIME_PACK + bt + 1
             pnew = mx + lm_ref[:]
+            if self._beam is not None:
+                rowmax = jnp.max(pnew, axis=1, keepdims=True)
+                pnew = jnp.where(pnew >= rowmax - self._beam, pnew, NEG_INF)
             pc_ref[pl.ds(v, 1)] = pnew
             if self._end_slice is not None:
                 end_ref[v, pl.ds(i, 1), :] = (

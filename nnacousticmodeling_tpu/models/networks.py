@@ -198,6 +198,11 @@ class _RecurrentStack:
         Pallas scan (the runner then falls back to ``lax.scan``)."""
         return None
 
+    def _cell_scan_pallas_train(self, params, carry, proj):
+        """Optional DIFFERENTIABLE whole-sequence kernel (custom VJP)
+        for the training path; None falls back to lax.scan autodiff."""
+        return None
+
     # dropout placement hooks (reference: dropout on input and after
     # every recurrent layer; ZoneoutLSTM overrides both off)
     input_dropout_rate: float = 0.0
@@ -208,8 +213,10 @@ class _RecurrentStack:
     scan_unroll: int = 1
     #: "xla" (lax.scan) or "pallas" — the weight-resident VMEM kernels
     #: (ops/rnn_pallas.py) for cells that have one (LSTM, eval-time
-    #: ZoneoutLSTM, GRU, MGRU±reset), inference only; cells without a
-    #: kernel fall back to lax.scan.
+    #: ZoneoutLSTM, GRU, MGRU±reset); plain LSTM also has a
+    #: differentiable custom-VJP kernel for the TRAINING path
+    #: (lstm_scan_pallas_train). Cells without a kernel fall back to
+    #: lax.scan.
     scan_impl: str = "xla"
 
     def init(self, key, in_dim):
@@ -258,9 +265,13 @@ class _RecurrentStack:
                          if keys[l + 1] is not None else jnp.zeros((t, 2), jnp.uint32))
 
             pallas_res = None
-            if self.scan_impl == "pallas" and not train:
-                pallas_res = self._cell_scan_pallas(layer_params,
-                                                    state[l], proj)
+            if self.scan_impl == "pallas":
+                if train:
+                    pallas_res = self._cell_scan_pallas_train(
+                        layer_params, state[l], proj)
+                else:
+                    pallas_res = self._cell_scan_pallas(layer_params,
+                                                        state[l], proj)
             if pallas_res is not None:
                 carry, hs = pallas_res
             else:
@@ -310,6 +321,11 @@ class LSTM(_RecurrentStack):
         from ..ops.rnn_pallas import lstm_scan_pallas
         c, h = carry
         return lstm_scan_pallas(proj, params["wh"], c, h)
+
+    def _cell_scan_pallas_train(self, params, carry, proj):
+        from ..ops.rnn_pallas import lstm_scan_pallas_train
+        c, h = carry
+        return lstm_scan_pallas_train(proj, params["wh"], c, h)
 
 
 @dataclass(frozen=True)
@@ -415,6 +431,16 @@ class GRU(_RecurrentStack):
                                     params["wh_c"], h, kind="gru")
         return (h_t, jnp.zeros_like(fresh)), hs
 
+    def _cell_scan_pallas_train(self, params, carry, proj):
+        from ..ops.rnn_pallas import gated_scan_pallas_train
+        h, fresh = carry
+        if "bu" in params:
+            proj = proj + params["bu"]
+            proj = proj.at[0].add(-fresh * params["bu"])
+        h_t, hs = gated_scan_pallas_train(proj, params["wh_rz"],
+                                          params["wh_c"], h, kind="gru")
+        return (h_t, jnp.zeros_like(fresh)), hs
+
 
 @dataclass(frozen=True)
 class MGRUNet(_RecurrentStack):
@@ -465,6 +491,29 @@ class MGRUNet(_RecurrentStack):
             h_t, hs = gated_scan_pallas(
                 proj, w1, None, h, kind="mgru",
                 activation=ACTIVATIONS[self.activation])
+        return (h_t, jnp.zeros_like(fresh)), hs
+
+    def _cell_scan_pallas_train(self, params, carry, proj):
+        from ..ops.rnn_pallas import gated_scan_pallas_train
+        h, fresh = carry
+        u = self.units
+        if "bu_z" in params or "bu_r" in params:
+            z = jnp.zeros((u,), jnp.float32)
+            bu = jnp.concatenate(
+                [params.get("bu_z", z), params.get("bu", z)]
+                + ([params.get("bu_r", z)] if self.use_reset_gate else []))
+            proj = proj + bu
+            proj = proj.at[0].add(-fresh * bu)
+        if self.use_reset_gate:
+            w1 = jnp.concatenate([params["u_z"], params["u_r"]], axis=1)
+            h_t, hs = gated_scan_pallas_train(
+                proj, w1, params["u"], h, kind="mgru_r",
+                activation=self.activation)
+        else:
+            w1 = jnp.concatenate([params["u_z"], params["u"]], axis=1)
+            h_t, hs = gated_scan_pallas_train(
+                proj, w1, None, h, kind="mgru",
+                activation=self.activation)
         return (h_t, jnp.zeros_like(fresh)), hs
 
 

@@ -62,6 +62,15 @@ def build_parser():
                         choices=["tpu", "native"],
                         help="decode in-graph on device (tpu) or with "
                              "the C++ host library (native)")
+    parser.add_argument("--beam", type=float, default=0,
+                        help="beam width: prune biphone scores below "
+                             "(frame max - beam) each frame; 0 = exact "
+                             "Viterbi (identical rule on tpu and native "
+                             "backends)")
+    parser.add_argument("--lm-from-mlf", nargs="+", default=None,
+                        help="estimate a phone-bigram LM from these MLF "
+                             "transcript files and decode with it "
+                             "instead of the image's stored LM")
     parser.add_argument("--no-progress", action="store_true")
     return parser
 
@@ -149,9 +158,33 @@ def main(arg_list=None):
 
     # ---- decode (in-process, replaces the PhoneRecog subprocess) ------
     image_path = str(Path(args.recog_dir, args.image))
+    beam = args.beam if args.beam and args.beam > 0 else None
+    if args.lm_from_mlf:
+        # estimate a phone-bigram LM from transcripts and decode with
+        # it (counts projected through the 48->39 map when present)
+        from ..decoder.graph import (cube_phone_names, estimate_bigram_lm,
+                                     image_with_bigram_lm)
+        from ..decoder.image import save_image
+        from ..io.mlf import load_mlf as _load_mlf_for_lm
+        img0 = load_image(image_path)
+        words = {}
+        for f in args.lm_from_mlf:
+            words.update({u: e.words for u, e in _load_mlf_for_lm(f).items()})
+        pm_path = Path(args.recog_dir, args.phone_map)
+        lm_mat = estimate_bigram_lm(
+            words, cube_phone_names(img0),
+            str(pm_path) if args.phone_map != "-" and pm_path.is_file()
+            else None)
+        img_lm = image_with_bigram_lm(img0, lm_mat)
+        import tempfile
+        tmp_img = str(Path(tempfile.mkdtemp(prefix="nnam_lm_")) /
+                      "lm_image.img")
+        save_image(tmp_img, img_lm)
+        image_path = tmp_img
     if args.decoder == "native":
         from ..decoder.native import NativeDecoder
-        dec = NativeDecoder(image_path, pip=args.PIP, lmw=args.LMW)
+        dec = NativeDecoder(image_path, pip=args.PIP, lmw=args.LMW,
+                            beam=beam)
         # utterance-parallel across host cores, like the reference's
         # OpenMP loop (main.cpp:51-64)
         results = dec.decode_batch(
@@ -159,7 +192,7 @@ def main(arg_list=None):
              for u in range(len(utt_list))])
     else:
         img = load_image(image_path)
-        dec = ViterbiDecoder(img, pip=args.PIP, lmw=args.LMW)
+        dec = ViterbiDecoder(img, pip=args.PIP, lmw=args.LMW, beam=beam)
         # bucket by length so each distinct padded shape compiles once,
         # not one XLA compile per distinct utterance length
         results = decode_corpus(dec, lp, offsets)

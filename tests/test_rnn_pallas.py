@@ -183,3 +183,167 @@ def test_network_gated_pallas_converted_bias_first_step():
     _, st_p = net_pl.apply_sequence(params, xs)
     ys2_p, _ = net_pl.apply_sequence(params, xs, state=st_p)
     np.testing.assert_allclose(ys2_p, ys2, atol=5e-2)
+
+
+# --- trainable custom-VJP scan ----------------------------------------
+
+def test_lstm_train_scan_forward_matches_inference_kernel():
+    """The trainable kernel's forward must equal lstm_scan_pallas
+    bit-for-bit (same math, same precision contract)."""
+    from nnacousticmodeling_tpu.ops.rnn_pallas import (
+        lstm_scan_pallas, lstm_scan_pallas_train)
+    rng = np.random.default_rng(31)
+    T, B, H = 13, 8, 16
+    proj = jnp.asarray(rng.standard_normal((T, B, 4 * H)).astype(np.float32))
+    wh = jnp.asarray(rng.standard_normal((H, 4 * H)).astype(np.float32) * 0.2)
+    c0 = jnp.asarray(rng.standard_normal((B, H)).astype(np.float32) * 0.1)
+    h0 = jnp.asarray(rng.standard_normal((B, H)).astype(np.float32) * 0.1)
+    (ct_a, ht_a), hs_a = lstm_scan_pallas(proj, wh, c0, h0)
+    (ct_b, ht_b), hs_b = lstm_scan_pallas_train(proj, wh, c0, h0)
+    np.testing.assert_array_equal(np.asarray(hs_a), np.asarray(hs_b))
+    np.testing.assert_array_equal(np.asarray(ct_a), np.asarray(ct_b))
+    np.testing.assert_array_equal(np.asarray(ht_a), np.asarray(ht_b))
+
+
+def test_lstm_train_scan_grads_match_autodiff():
+    """Gradients from the custom reverse-time kernel vs autodiff
+    through the mixed-precision reference scan. Residuals are stored
+    bf16, so tolerances are bf16-level."""
+    from nnacousticmodeling_tpu.ops.rnn_pallas import (
+        lstm_scan_mixed_reference, lstm_scan_pallas_train)
+    rng = np.random.default_rng(32)
+    T, B, H = 11, 8, 16
+    proj = jnp.asarray(rng.standard_normal((T, B, 4 * H)).astype(np.float32))
+    wh = jnp.asarray(rng.standard_normal((H, 4 * H)).astype(np.float32) * 0.2)
+    c0 = jnp.asarray(rng.standard_normal((B, H)).astype(np.float32) * 0.1)
+    h0 = jnp.asarray(rng.standard_normal((B, H)).astype(np.float32) * 0.1)
+    w_out = jnp.asarray(rng.standard_normal((H, 4)).astype(np.float32))
+
+    def loss_kernel(proj, wh, c0, h0):
+        (ct, ht), hs = lstm_scan_pallas_train(proj, wh, c0, h0)
+        return (jnp.tanh(hs.astype(jnp.float32) @ w_out).sum()
+                + 0.5 * ct.sum() + 0.25 * ht.sum())
+
+    def loss_ref(proj, wh, c0, h0):
+        (ct, ht), hs = lstm_scan_mixed_reference(proj, wh, c0, h0)
+        return (jnp.tanh(hs.astype(jnp.float32) @ w_out).sum()
+                + 0.5 * ct.sum() + 0.25 * ht.sum())
+
+    g_k = jax.grad(loss_kernel, argnums=(0, 1, 2, 3))(proj, wh, c0, h0)
+    g_r = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(proj, wh, c0, h0)
+    for a, b, name in zip(g_k, g_r, ["dproj", "dwh", "dc0", "dh0"]):
+        a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
+        scale = max(np.abs(b).max(), 1e-3)
+        np.testing.assert_allclose(a, b, atol=0.03 * scale, err_msg=name)
+
+
+def test_lstm_network_trains_with_pallas_scan():
+    """End-to-end: an LSTM net with scan_impl='pallas' trains (loss
+    decreases) through the custom-VJP kernel."""
+    import dataclasses
+    import optax
+    from nnacousticmodeling_tpu.models import get_network
+    rng = np.random.default_rng(33)
+    net = get_network("lstm", 1, [16], 8)
+    net = dataclasses.replace(net, scan_impl="pallas")
+    params = net.init(jax.random.PRNGKey(0), 6)
+    x = jnp.asarray(rng.standard_normal((4, 12, 6)).astype(np.float32))
+    y = jnp.asarray(rng.integers(0, 8, (4, 12)).astype(np.int32))
+    opt = optax.adam(3e-2)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(params, opt_state):
+        def loss_fn(p):
+            logits, _ = net.apply_sequence(p, x, train=True)
+            return optax.softmax_cross_entropy_with_integer_labels(
+                logits, y).mean()
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        upd, opt_state = opt.update(grads, opt_state, params)
+        return optax.apply_updates(params, upd), opt_state, loss
+
+    losses = []
+    for _ in range(30):
+        params, opt_state, loss = step(params, opt_state)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0] * 0.7, losses[:3] + losses[-3:]
+
+
+@pytest.mark.parametrize("kind,act", [("gru", "tanh"), ("mgru", "relu"),
+                                      ("mgru_r", "relu")])
+def test_gated_train_scan_forward_and_grads(kind, act):
+    """Trainable GRU/MGRU kernels: forward equals the inference kernel
+    bit-for-bit; grads match autodiff through the mixed reference."""
+    from nnacousticmodeling_tpu.ops.rnn_pallas import (
+        gated_scan_mixed_reference, gated_scan_pallas,
+        gated_scan_pallas_train)
+    rng = np.random.default_rng(41)
+    T, B, H = 11, 8, 16
+    gp = 2 if kind == "mgru" else 3
+    proj = jnp.asarray(rng.standard_normal((T, B, gp * H)).astype(np.float32))
+    w1 = jnp.asarray(rng.standard_normal((H, 2 * H)).astype(np.float32) * 0.2)
+    w2 = (None if kind == "mgru" else
+          jnp.asarray(rng.standard_normal((H, H)).astype(np.float32) * 0.2))
+    h0 = jnp.asarray(rng.standard_normal((B, H)).astype(np.float32) * 0.1)
+    act_fn = {"tanh": jnp.tanh, "relu": jax.nn.relu}[act]
+
+    ht_a, hs_a = gated_scan_pallas(proj, w1, w2, h0, kind=kind,
+                                   activation=act_fn)
+    ht_b, hs_b = gated_scan_pallas_train(proj, w1, w2, h0, kind=kind,
+                                         activation=act)
+    np.testing.assert_array_equal(np.asarray(hs_a), np.asarray(hs_b))
+    np.testing.assert_array_equal(np.asarray(ht_a), np.asarray(ht_b))
+
+    w_out = jnp.asarray(rng.standard_normal((H, 4)).astype(np.float32))
+
+    def loss_kernel(proj, w1, w2, h0):
+        ht, hs = gated_scan_pallas_train(proj, w1, w2, h0, kind=kind,
+                                         activation=act)
+        return (jnp.tanh(hs.astype(jnp.float32) @ w_out).sum()
+                + 0.5 * ht.sum())
+
+    def loss_ref(proj, w1, w2, h0):
+        ht, hs = gated_scan_mixed_reference(proj, w1, w2, h0, kind=kind,
+                                            activation=act_fn)
+        return (jnp.tanh(hs.astype(jnp.float32) @ w_out).sum()
+                + 0.5 * ht.sum())
+
+    args = (proj, w1, w2, h0)
+    dif_idx = (0, 1, 3) if kind == "mgru" else (0, 1, 2, 3)
+    g_k = jax.grad(loss_kernel, argnums=dif_idx)(*args)
+    g_r = jax.grad(loss_ref, argnums=dif_idx)(*args)
+    for a, b in zip(g_k, g_r):
+        a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
+        scale = max(np.abs(b).max(), 1e-3)
+        np.testing.assert_allclose(a, b, atol=0.03 * scale)
+
+
+@pytest.mark.parametrize("name", ["gru", "mgrurelu", "mgrurelur"])
+def test_gated_network_trains_with_pallas_scan(name):
+    import dataclasses
+    import optax
+    from nnacousticmodeling_tpu.models import get_network
+    rng = np.random.default_rng(43)
+    net = get_network(name, 1, [16], 8)
+    net = dataclasses.replace(net, scan_impl="pallas")
+    params = net.init(jax.random.PRNGKey(0), 6)
+    x = jnp.asarray(rng.standard_normal((4, 12, 6)).astype(np.float32))
+    y = jnp.asarray(rng.integers(0, 8, (4, 12)).astype(np.int32))
+    opt = optax.adam(3e-2)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(params, opt_state):
+        def loss_fn(p):
+            logits, _ = net.apply_sequence(p, x, train=True)
+            return optax.softmax_cross_entropy_with_integer_labels(
+                logits, y).mean()
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        upd, opt_state = opt.update(grads, opt_state, params)
+        return optax.apply_updates(params, upd), opt_state, loss
+
+    losses = []
+    for _ in range(30):
+        params, opt_state, loss = step(params, opt_state)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0] * 0.7, losses[:3] + losses[-3:]
