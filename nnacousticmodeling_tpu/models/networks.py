@@ -391,6 +391,13 @@ class PeepholeLSTM(_RecurrentStack):
     def _cell_step(self, params, carry, x_proj, rng, train):
         return cells.peephole_lstm_step(params, carry, x_proj)
 
+    def _cell_scan_pallas(self, params, carry, proj):
+        from ..ops.rnn_pallas import peephole_scan_pallas
+        c, h = carry
+        return peephole_scan_pallas(proj, params["wh"], params["peep_i"],
+                                    params["peep_f"], params["peep_o"],
+                                    c, h)
+
     def _cell_state(self, batch):
         return cells.lstm_init_state(batch, self.units)
 

@@ -972,3 +972,139 @@ def gated_scan_pallas_train(proj, w1, w2, h0, *, kind, activation="tanh"):
     if kind == "mgru":
         return _gated_train(kind, activation, proj, w1, None, h0)
     return _gated_train(kind, activation, proj, w1, w2, h0)
+
+
+def peephole_scan_pallas(proj, wh, peep_i, peep_f, peep_o, c0, h0, *,
+                         time_block: int = 8,
+                         vmem_limit_bytes: int = 64 * 1024 * 1024,
+                         interpret: bool | None = None):
+    """Weight-resident Peephole-LSTM sequence scan (inference).
+
+    Chainer StatefulPeepholeLSTM twin (cells.peephole_lstm_step):
+    full-matrix peephole connections — i/f peep on c_{t-1}, o peep on
+    c_t. W_h and the three (H, H) peep matrices stay VMEM-resident
+    across all timesteps (bf16: ~14.7 MB at H=1024); per step only the
+    proj row streams in and h streams out. Same mixed-precision
+    contract as ``lstm_scan_pallas``.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    t, b, g = proj.shape
+    carry_dtype = c0.dtype
+    h_dim = wh.shape[0]
+    H = h_dim
+    if g != 4 * h_dim:
+        raise ValueError(f"proj gate dim {g} != 4*{h_dim}")
+    out_dtype = proj.dtype
+    tb = max(1, min(time_block, t))
+    tp = _cdiv(t, tb) * tb
+    if tp != t:
+        proj = jnp.pad(proj, ((0, tp - t), (0, 0), (0, 0)))
+    projb = proj.astype(jnp.bfloat16)
+    whb = wh.astype(jnp.bfloat16)
+    pib = peep_i.astype(jnp.bfloat16)
+    pfb = peep_f.astype(jnp.bfloat16)
+    pob = peep_o.astype(jnp.bfloat16)
+    c0f = c0.astype(jnp.float32)
+    h0f = h0.astype(jnp.float32)
+
+    def kernel(proj_ref, wh_ref, pi_ref, pf_ref, po_ref, c0_ref, h0_ref,
+               hs_ref, ct_ref, ht_ref, c_scr, h_scr):
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            c_scr[:] = c0_ref[:]
+            h_scr[:] = h0_ref[:]
+
+        base = pl.program_id(0) * tb
+
+        def mm(x, w_ref):
+            return jnp.dot(x.astype(jnp.bfloat16), w_ref[:],
+                           preferred_element_type=jnp.float32)
+
+        def step(i, _):
+            c = c_scr[:]
+            z = proj_ref[i].astype(jnp.float32) + mm(h_scr[:], wh_ref)
+            a = jnp.tanh(z[:, :H])
+            ig = jax.nn.sigmoid(z[:, H:2 * H] + mm(c, pi_ref))
+            f = jax.nn.sigmoid(z[:, 2 * H:3 * H] + mm(c, pf_ref))
+            c_new = f * c + ig * a
+            o = jax.nn.sigmoid(z[:, 3 * H:] + mm(c_new, po_ref))
+            h = o * jnp.tanh(c_new)
+            live = base + i < t
+            c_scr[:] = jnp.where(live, c_new, c)
+            h_scr[:] = jnp.where(live, h, h_scr[:])
+            hs_ref[i] = h.astype(hs_ref.dtype)
+            return 0
+
+        jax.lax.fori_loop(0, tb, step, 0)
+        ct_ref[:] = c_scr[:]
+        ht_ref[:] = h_scr[:]
+
+    const = lambda i: (0, 0)
+    hs, c_t, h_t = pl.pallas_call(
+        kernel,
+        grid=(tp // tb,),
+        in_specs=[
+            pl.BlockSpec((tb, b, g), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((h_dim, g), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((h_dim, h_dim), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((h_dim, h_dim), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((h_dim, h_dim), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, h_dim), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, h_dim), const, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tb, b, h_dim), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, h_dim), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, h_dim), const, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((tp, b, h_dim), out_dtype),
+            jax.ShapeDtypeStruct((b, h_dim), jnp.float32),
+            jax.ShapeDtypeStruct((b, h_dim), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((b, h_dim), jnp.float32),
+            pltpu.VMEM((b, h_dim), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=vmem_limit_bytes,
+        ),
+        interpret=interpret,
+    )(projb, whb, pib, pfb, pob, c0f, h0f)
+    return (c_t.astype(carry_dtype), h_t.astype(carry_dtype)), hs[:t]
+
+
+def peephole_scan_mixed_reference(proj, wh, peep_i, peep_f, peep_o, c0, h0):
+    """lax.scan twin with the kernel's exact precision contract."""
+    projb = proj.astype(jnp.bfloat16)
+    whb = wh.astype(jnp.bfloat16)
+    pib = peep_i.astype(jnp.bfloat16)
+    pfb = peep_f.astype(jnp.bfloat16)
+    pob = peep_o.astype(jnp.bfloat16)
+    H = wh.shape[0]
+
+    def mm(x, w):
+        return jnp.dot(x.astype(jnp.bfloat16), w,
+                       preferred_element_type=jnp.float32)
+
+    def step(carry, x_proj):
+        c, h = carry
+        z = x_proj.astype(jnp.float32) + mm(h, whb)
+        a = jnp.tanh(z[:, :H])
+        ig = jax.nn.sigmoid(z[:, H:2 * H] + mm(c, pib))
+        f = jax.nn.sigmoid(z[:, 2 * H:3 * H] + mm(c, pfb))
+        c_new = f * c + ig * a
+        o = jax.nn.sigmoid(z[:, 3 * H:] + mm(c_new, pob))
+        h_new = o * jnp.tanh(c_new)
+        return (c_new, h_new), h_new.astype(projb.dtype)
+
+    (c_t, h_t), hs = jax.lax.scan(
+        step, (c0.astype(jnp.float32), h0.astype(jnp.float32)), projb)
+    return (c_t, h_t), hs

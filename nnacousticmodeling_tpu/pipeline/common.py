@@ -49,9 +49,12 @@ def add_network_args(parser: argparse.ArgumentParser) -> None:
                         choices=("xla", "pallas"),
                         help="recurrent sequence runner: 'xla' (lax.scan, "
                              "bit-matches the reference recipe) or 'pallas' "
-                             "(weight-resident VMEM kernel, bf16 matmul "
-                             "operands — fastest TPU inference; cells "
-                             "without a kernel fall back to lax.scan)")
+                             "(weight-resident VMEM kernels, bf16 matmul "
+                             "operands — fastest TPU path for BOTH "
+                             "inference and training: LSTM/GRU/MGRU train "
+                             "through custom-VJP reverse-time kernels; "
+                             "cells without a kernel fall back to "
+                             "lax.scan)")
 
 
 def add_data_args(parser: argparse.ArgumentParser) -> None:

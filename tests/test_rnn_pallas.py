@@ -347,3 +347,43 @@ def test_gated_network_trains_with_pallas_scan(name):
         params, opt_state, loss = step(params, opt_state)
         losses.append(float(loss))
     assert losses[-1] < losses[0] * 0.7, losses[:3] + losses[-3:]
+
+
+def test_peephole_scan_pallas_matches_mixed_reference():
+    """Weight-resident Peephole-LSTM kernel == mixed-precision scan."""
+    from nnacousticmodeling_tpu.ops.rnn_pallas import (
+        peephole_scan_mixed_reference, peephole_scan_pallas)
+    rng = np.random.default_rng(51)
+    T, B, H = 13, 8, 16
+    # bf16 proj: both sides then emit bf16 hiddens, so the comparison
+    # is exact (the reference twin emits hs in proj's dtype)
+    proj = jnp.asarray(rng.standard_normal(
+        (T, B, 4 * H)).astype(np.float32)).astype(jnp.bfloat16)
+    wh = jnp.asarray(rng.standard_normal((H, 4 * H)).astype(np.float32) * 0.2)
+    peeps = [jnp.asarray(rng.standard_normal((H, H)).astype(np.float32) * 0.2)
+             for _ in range(3)]
+    c0 = jnp.asarray(rng.standard_normal((B, H)).astype(np.float32) * 0.1)
+    h0 = jnp.asarray(rng.standard_normal((B, H)).astype(np.float32) * 0.1)
+    (ct_a, ht_a), hs_a = peephole_scan_pallas(proj, wh, *peeps, c0, h0)
+    (ct_b, ht_b), hs_b = peephole_scan_mixed_reference(proj, wh, *peeps,
+                                                       c0, h0)
+    np.testing.assert_array_equal(np.asarray(hs_a, np.float32),
+                                  np.asarray(hs_b, np.float32))
+    np.testing.assert_allclose(np.asarray(ct_a), np.asarray(ct_b),
+                               rtol=0, atol=2e-7)
+
+
+def test_peephole_network_pallas_eval_close_to_xla():
+    """PeepholeLSTM net with scan_impl='pallas' matches the f32 XLA
+    runner to mixed-precision tolerance at eval time."""
+    import dataclasses
+    from nnacousticmodeling_tpu.models import get_network
+    rng = np.random.default_rng(52)
+    net = get_network("peepholelstm", 2, [16], 8)
+    params = net.init(jax.random.PRNGKey(0), 6)
+    x = jnp.asarray(rng.standard_normal((3, 12, 6)).astype(np.float32))
+    y_xla, _ = net.apply_sequence(params, x)
+    net_pl = dataclasses.replace(net, scan_impl="pallas")
+    y_pl, _ = net_pl.apply_sequence(params, x)
+    np.testing.assert_allclose(np.asarray(y_pl), np.asarray(y_xla),
+                               atol=5e-2)
