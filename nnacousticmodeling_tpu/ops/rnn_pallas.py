@@ -24,10 +24,14 @@ matmuls — and the carry/gates stay float32, matching the engine's
 mixed-precision recipe (engine.py `_mixed_apply`). Gate order/equations
 are cells.lstm_step's (Chainer L.LSTM twin: a,i,f,o).
 
-Used by the inference runners (networks.py `scan_impl="pallas"`) and
-bench.py; training keeps the XLA scan (autodiff through the kernel is
-not needed — the reference's hot eval path is inference,
-evaluateModelForTest.py:52-93).
+Used by the runners behind networks.py `scan_impl="pallas"` and
+bench.py. Training goes through the custom-VJP variants below
+(`lstm_scan_pallas_train`, `gated_scan_pallas_train`): the reverse-time
+backward kernels keep W^T and the f32 dW accumulators VMEM-resident —
+the XLA autodiff scan re-streams W, W^T AND the (H, 4H) dW accumulator
+from HBM every timestep (~50 MB/step/layer at H=1024), which is what
+makes TBPTT weight-bandwidth-bound (measured: LSTM 4x1024 TBPTT step
+15.9 -> 8.9 ms f32 on v5e).
 """
 
 from __future__ import annotations
