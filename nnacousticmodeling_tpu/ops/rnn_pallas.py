@@ -503,7 +503,13 @@ def _lstm_train_bwd_impl(res, whT, dhs, dct, dht, t, proj_dtype, wh_dtype,
     H = seven_h // 7
     g = 4 * H
     tb = max(1, min(time_block, tp))
-    nb = tp // tb
+    # the forward pads to a multiple of ITS time_block (min(8, T)), which
+    # need not be a multiple of this kernel's tb — pad up to nb*tb so the
+    # grid covers every timestep (live-masking zeroes the padded rows)
+    nb = _cdiv(tp, tb)
+    tp = nb * tb
+    if res.shape[0] != tp:
+        res = jnp.pad(res, ((0, tp - res.shape[0]), (0, 0), (0, 0)))
     if dhs.shape[0] != tp:
         dhs = jnp.pad(dhs, ((0, tp - dhs.shape[0]), (0, 0), (0, 0)))
     dhs = dhs.astype(jnp.float32)
@@ -790,7 +796,12 @@ def _gated_train_bwd_impl(kind, act_name, res, w1T, w2T, dhs, dht, t,
     H = four_h // 4
     g = gp * H
     tb = max(1, min(time_block, tp))
-    nb = tp // tb
+    # pad to a multiple of THIS kernel's tb (forward pads to min(8, T),
+    # not necessarily divisible by 4 — e.g. T=5..7); see _lstm_train_bwd_impl
+    nb = _cdiv(tp, tb)
+    tp = nb * tb
+    if res.shape[0] != tp:
+        res = jnp.pad(res, ((0, tp - res.shape[0]), (0, 0), (0, 0)))
     if dhs.shape[0] != tp:
         dhs = jnp.pad(dhs, ((0, tp - dhs.shape[0]), (0, 0), (0, 0)))
     dhs = dhs.astype(jnp.float32)

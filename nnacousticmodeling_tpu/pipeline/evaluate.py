@@ -159,12 +159,12 @@ def main(arg_list=None):
     # ---- decode (in-process, replaces the PhoneRecog subprocess) ------
     image_path = str(Path(args.recog_dir, args.image))
     beam = args.beam if args.beam and args.beam > 0 else None
+    img_lm = None
     if args.lm_from_mlf:
         # estimate a phone-bigram LM from transcripts and decode with
         # it (counts projected through the 48->39 map when present)
         from ..decoder.graph import (cube_phone_names, estimate_bigram_lm,
                                      image_with_bigram_lm)
-        from ..decoder.image import save_image
         from ..io.mlf import load_mlf as _load_mlf_for_lm
         img0 = load_image(image_path)
         words = {}
@@ -176,22 +176,30 @@ def main(arg_list=None):
             str(pm_path) if args.phone_map != "-" and pm_path.is_file()
             else None)
         img_lm = image_with_bigram_lm(img0, lm_mat)
-        import tempfile
-        tmp_img = str(Path(tempfile.mkdtemp(prefix="nnam_lm_")) /
-                      "lm_image.img")
-        save_image(tmp_img, img_lm)
-        image_path = tmp_img
     if args.decoder == "native":
-        from ..decoder.native import NativeDecoder
-        dec = NativeDecoder(image_path, pip=args.PIP, lmw=args.LMW,
-                            beam=beam)
-        # utterance-parallel across host cores, like the reference's
-        # OpenMP loop (main.cpp:51-64)
-        results = dec.decode_batch(
-            [np.ascontiguousarray(lp[offsets[u]:offsets[u + 1]])
-             for u in range(len(utt_list))])
+        import contextlib
+        with contextlib.ExitStack() as stack:
+            if img_lm is not None:
+                # the native CLI needs an on-disk image; keep it in a
+                # TemporaryDirectory that dies with this block
+                import tempfile
+                from ..decoder.image import save_image
+                tmpd = stack.enter_context(
+                    tempfile.TemporaryDirectory(prefix="nnam_lm_"))
+                image_path = str(Path(tmpd) / "lm_image.img")
+                save_image(image_path, img_lm)
+            from ..decoder.native import NativeDecoder
+            dec = NativeDecoder(image_path, pip=args.PIP, lmw=args.LMW,
+                                beam=beam)
+            # utterance-parallel across host cores, like the reference's
+            # OpenMP loop (main.cpp:51-64)
+            results = dec.decode_batch(
+                [np.ascontiguousarray(lp[offsets[u]:offsets[u + 1]])
+                 for u in range(len(utt_list))])
     else:
-        img = load_image(image_path)
+        # TPU path: hand the rebuilt image object straight to the
+        # decoder — no disk round-trip at all
+        img = img_lm if img_lm is not None else load_image(image_path)
         dec = ViterbiDecoder(img, pip=args.PIP, lmw=args.LMW, beam=beam)
         # bucket by length so each distinct padded shape compiles once,
         # not one XLA compile per distinct utterance length

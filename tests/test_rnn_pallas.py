@@ -237,6 +237,67 @@ def test_lstm_train_scan_grads_match_autodiff():
         np.testing.assert_allclose(a, b, atol=0.03 * scale, err_msg=name)
 
 
+@pytest.mark.parametrize("t", [5, 6, 7])
+def test_train_scan_grads_awkward_lengths(t):
+    """T=5..7 regression: the forward pads to a multiple of min(8, T),
+    which is NOT a multiple of the backward kernel's time_block=4 —
+    the backward must cover every timestep anyway (r4 advisor bug:
+    nb = tp // tb silently dropped the tail and corrupted grads)."""
+    from nnacousticmodeling_tpu.ops.rnn_pallas import (
+        lstm_scan_mixed_reference, lstm_scan_pallas_train,
+        gated_scan_mixed_reference, gated_scan_pallas_train)
+    rng = np.random.default_rng(100 + t)
+    B, H = 8, 16
+    w_out = jnp.asarray(rng.standard_normal((H, 4)).astype(np.float32))
+
+    proj = jnp.asarray(rng.standard_normal((t, B, 4 * H)).astype(np.float32))
+    wh = jnp.asarray(rng.standard_normal((H, 4 * H)).astype(np.float32) * 0.2)
+    c0 = jnp.asarray(rng.standard_normal((B, H)).astype(np.float32) * 0.1)
+    h0 = jnp.asarray(rng.standard_normal((B, H)).astype(np.float32) * 0.1)
+
+    def loss_k(proj, wh, c0, h0):
+        (ct, ht), hs = lstm_scan_pallas_train(proj, wh, c0, h0)
+        return (jnp.tanh(hs.astype(jnp.float32) @ w_out).sum()
+                + 0.5 * ct.sum() + 0.25 * ht.sum())
+
+    def loss_r(proj, wh, c0, h0):
+        (ct, ht), hs = lstm_scan_mixed_reference(proj, wh, c0, h0)
+        return (jnp.tanh(hs.astype(jnp.float32) @ w_out).sum()
+                + 0.5 * ct.sum() + 0.25 * ht.sum())
+
+    g_k = jax.grad(loss_k, argnums=(0, 1, 2, 3))(proj, wh, c0, h0)
+    g_r = jax.grad(loss_r, argnums=(0, 1, 2, 3))(proj, wh, c0, h0)
+    for a, b, name in zip(g_k, g_r, ["dproj", "dwh", "dc0", "dh0"]):
+        a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
+        scale = max(np.abs(b).max(), 1e-3)
+        np.testing.assert_allclose(a, b, atol=0.03 * scale,
+                                   err_msg=f"lstm T={t} {name}")
+
+    gproj = jnp.asarray(rng.standard_normal((t, B, 3 * H)).astype(np.float32))
+    w1 = jnp.asarray(rng.standard_normal((H, 2 * H)).astype(np.float32) * 0.2)
+    w2 = jnp.asarray(rng.standard_normal((H, H)).astype(np.float32) * 0.2)
+
+    def gloss_k(proj, w1, w2, h0):
+        ht, hs = gated_scan_pallas_train(proj, w1, w2, h0, kind="gru",
+                                         activation="tanh")
+        return (jnp.tanh(hs.astype(jnp.float32) @ w_out).sum()
+                + 0.5 * ht.sum())
+
+    def gloss_r(proj, w1, w2, h0):
+        ht, hs = gated_scan_mixed_reference(proj, w1, w2, h0, kind="gru",
+                                            activation=jnp.tanh)
+        return (jnp.tanh(hs.astype(jnp.float32) @ w_out).sum()
+                + 0.5 * ht.sum())
+
+    g_k = jax.grad(gloss_k, argnums=(0, 1, 2, 3))(gproj, w1, w2, h0)
+    g_r = jax.grad(gloss_r, argnums=(0, 1, 2, 3))(gproj, w1, w2, h0)
+    for a, b, name in zip(g_k, g_r, ["dproj", "dw1", "dw2", "dh0"]):
+        a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
+        scale = max(np.abs(b).max(), 1e-3)
+        np.testing.assert_allclose(a, b, atol=0.03 * scale,
+                                   err_msg=f"gru T={t} {name}")
+
+
 def test_lstm_network_trains_with_pallas_scan():
     """End-to-end: an LSTM net with scan_impl='pallas' trains (loss
     decreases) through the custom-VJP kernel."""
