@@ -117,10 +117,26 @@ class ViterbiDecoder:
             backend = os.environ.get("NNAM_VITERBI_BACKEND", "auto")
         self.backend = "xla"
         self._pallas_fwd = None
+        self._collapsed_fwd = None
         if backend != "xla" and self._cube_order is not None:
             on_tpu = jax.default_backend() == "tpu"
-            if backend == "pallas" or (backend == "auto" and on_tpu):
-                from .viterbi_pallas import PallasCubeViterbi, UnsupportedImage
+            from .viterbi_pallas import UnsupportedImage
+            if backend == "collapsed" or (backend == "auto" and on_tpu):
+                # preferred: right-context-collapsed lanes (2.25x
+                # smaller DP planes than the dense cube kernel)
+                from .viterbi_collapsed import PallasCollapsedViterbi
+                try:
+                    self._collapsed_fwd = PallasCollapsedViterbi(
+                        image, self._cube_order, pip=self.pip, lmw=lmw,
+                        beam=self.beam, interpret=not on_tpu)
+                    self.backend = "collapsed"
+                except UnsupportedImage:
+                    if backend == "collapsed":
+                        raise
+            if (self._collapsed_fwd is None
+                    and backend in ("pallas", "auto") and on_tpu
+                    or backend == "pallas"):
+                from .viterbi_pallas import PallasCubeViterbi
                 try:
                     self._pallas_fwd = PallasCubeViterbi(
                         image, self._cube_order, pip=self.pip, lmw=lmw,
@@ -140,8 +156,56 @@ class ViterbiDecoder:
             end_map=self._pallas_fwd.end_lane,
             bi_map=self._pallas_fwd.bi_in_lane)
 
+    def _collapsed_backtrace(self, packed, end_scores, length):
+        """Backtrace over the collapsed kernel's per-lane ``a* *
+        TIME_PACK + t_entry + 1`` backpointers.  The collapsed lane
+        loses the right context, but the walk always KNOWS the real
+        biphone it is tracing (the first hop starts from an end biphone
+        and each hop computes its predecessor as (a*, center)), so the
+        triphone id is reconstructed arithmetically per hop."""
+        ck = self._collapsed_fwd
+        P = self.image.num_phones
+        T = packed.shape[0]
+        pack = self._time_pack_for(T)
+        bi2lane = ck.bi2lane
+
+        last = end_scores[length - 1]
+        mxi0 = self._end_idxs[jnp.argmax(last)]          # real biphone id
+
+        segs0 = jnp.zeros((T, 3), dtype=jnp.int32)
+
+        def cond(c):
+            t, bi, k, segs = c
+            return t >= 0
+
+        def body(c):
+            t, bi, k, segs = c
+            entry = packed[t, bi2lane[bi]]
+            a = entry // pack
+            t_new = entry % pack - 1
+            b = bi // P
+            cc = bi % P
+            if self._cube_order == "bac":
+                tri = b * (P * P) + a * P + cc
+            else:
+                tri = a * (P * P) + b * P + cc
+            segs = segs.at[k].set(jnp.stack([t_new + 1, t + 1, tri]))
+            bi_new = a * P + b
+            t_next = jnp.where(t_new >= t, -1, t_new)
+            return (t_next, bi_new, k + 1, segs)
+
+        t0 = length - 1
+        _, _, count, segs = jax.lax.while_loop(
+            cond, body, (t0, mxi0, jnp.int32(0), segs0))
+        return segs, count
+
     def _pallas_decode_traced(self, lp, lengths):
         """Jit-composable Pallas forward + backtrace (one program)."""
+        if self._collapsed_fwd is not None:
+            packed, end_scores = self._collapsed_fwd.forward_traced(
+                lp, lengths)
+            return jax.vmap(self._collapsed_backtrace)(packed, end_scores,
+                                                       lengths)
         packed, end_scores = self._pallas_fwd.forward_traced(lp, lengths)
         return jax.vmap(self._pallas_backtrace)(packed, end_scores,
                                                 lengths)
@@ -450,9 +514,11 @@ class ViterbiDecoder:
         return self._to_results(np.asarray(segs), np.asarray(count))[0]
 
     def _decode_arrays(self, lp, lengths):
-        # the Pallas kernel packs with the fixed minimum factor; longer
+        # the Pallas kernels pack with the fixed minimum factor; longer
         # utterances take the XLA path with a wider dynamic pack
-        if self._pallas_fwd is not None and lp.shape[1] < TIME_PACK - 1:
+        if ((self._pallas_fwd is not None
+             or self._collapsed_fwd is not None)
+                and lp.shape[1] < TIME_PACK - 1):
             # forward + backtrace as ONE program: one dispatch, and the
             # backtrace launches without a host round-trip
             if self._pallas_decode_jit is None:
@@ -469,7 +535,9 @@ class ViterbiDecoder:
         posterior round-trip on the host side."""
         def fn(lp, lengths):
             lengths = jnp.asarray(lengths, jnp.int32)
-            if self._pallas_fwd is not None and lp.shape[1] < TIME_PACK - 1:
+            if ((self._pallas_fwd is not None
+                 or self._collapsed_fwd is not None)
+                    and lp.shape[1] < TIME_PACK - 1):
                 return self._pallas_decode_traced(lp, lengths)
             return jax.vmap(self._decode_device)(lp, lengths)
         return fn

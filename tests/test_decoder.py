@@ -194,6 +194,75 @@ def test_pallas_cube_matches_xla_forward(order_seed):
         assert ra.segments == rb.segments
 
 
+@pytest.mark.parametrize("order_seed", [0, 7])
+def test_collapsed_matches_xla_forward(order_seed):
+    """Right-context-collapsed kernel (viterbi_collapsed.py): packed
+    backpointers (after expansion to the full-biphone layout) and end
+    scores bit-equal to the XLA scan path; segments identical."""
+    rng = np.random.default_rng(order_seed)
+    img = make_synthetic_image(num_phones=4, num_states=14,
+                               seed=order_seed, pdf_tied_transitions=True)
+    xla = ViterbiDecoder(img, pip=5.0, lmw=1.5, backend="xla")
+    col = ViterbiDecoder(img, pip=5.0, lmw=1.5, backend="collapsed")
+    assert col.backend == "collapsed"
+    lp, lens = _rand_posteriors(rng, 3, 17, img.num_states)
+    import jax
+    import jax.numpy as jnp
+    want_packed, want_end = jax.vmap(xla._forward_scan)(jnp.asarray(lp))
+    got_packed, got_end = col._collapsed_fwd.forward(
+        jnp.asarray(lp), jnp.asarray(lens))
+    got_full = col._collapsed_fwd.packed_to_full(np.asarray(got_packed))
+    for u, l in enumerate(lens):
+        np.testing.assert_array_equal(got_full[u, :l],
+                                      np.asarray(want_packed)[u, :l])
+        np.testing.assert_array_equal(np.asarray(got_end)[u, :l],
+                                      np.asarray(want_end)[u, :l])
+    a = xla.decode_batch(lp, lens)
+    b = col.decode_batch(lp, lens)
+    for ra, rb in zip(a, b):
+        assert ra.segments == rb.segments
+
+
+def test_collapsed_beam_matches_xla():
+    """Beam pruning in the collapsed kernel is entry/end-side (LM moves
+    to entry-time), but must reproduce the XLA rule bit-exactly."""
+    rng = np.random.default_rng(23)
+    img = make_synthetic_image(num_phones=4, num_states=14, seed=23,
+                               pdf_tied_transitions=True)
+    lp, lens = _rand_posteriors(rng, 3, 17, img.num_states)
+    import jax
+    import jax.numpy as jnp
+    for beam in (2.0, 1e9):
+        xla = ViterbiDecoder(img, pip=5.0, lmw=1.0, backend="xla",
+                             beam=beam)
+        col = ViterbiDecoder(img, pip=5.0, lmw=1.0, backend="collapsed",
+                             beam=beam)
+        want_packed, want_end = jax.vmap(xla._forward_scan)(jnp.asarray(lp))
+        got_packed, got_end = col._collapsed_fwd.forward(
+            jnp.asarray(lp), jnp.asarray(lens))
+        got_full = col._collapsed_fwd.packed_to_full(np.asarray(got_packed))
+        for u, l in enumerate(lens):
+            np.testing.assert_array_equal(got_full[u, :l],
+                                          np.asarray(want_packed)[u, :l])
+            np.testing.assert_array_equal(np.asarray(got_end)[u, :l],
+                                          np.asarray(want_end)[u, :l])
+        for ra, rb in zip(xla.decode_batch(lp, lens),
+                          col.decode_batch(lp, lens)):
+            assert ra.segments == rb.segments
+
+
+def test_collapsed_rejects_untied_transitions():
+    from nnacousticmodeling_tpu.decoder.viterbi_collapsed import (
+        PallasCollapsedViterbi)
+    from nnacousticmodeling_tpu.decoder.viterbi_pallas import (
+        UnsupportedImage)
+    img = make_synthetic_image(num_phones=3, num_states=12, seed=2,
+                               pdf_tied_transitions=False)
+    with pytest.raises(UnsupportedImage):
+        PallasCollapsedViterbi(img, "abc", pip=-5.0, lmw=1.0,
+                               interpret=True)
+
+
 def test_pallas_rejects_untied_transitions():
     from nnacousticmodeling_tpu.decoder.viterbi_pallas import (
         PallasCubeViterbi, UnsupportedImage)
