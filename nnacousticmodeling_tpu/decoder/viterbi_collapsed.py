@@ -94,8 +94,10 @@ class PallasCollapsedViterbi:
     """
 
     def __init__(self, image, cube_order: str, pip: float, lmw: float,
-                 chunk: int = 8, n_utt: int = 2, beam=None,
+                 chunk: int = 16, n_utt: int = 2, beam=None,
                  interpret: bool = False, cap: int = 8):
+        # chunk=16 n_utt=2 measured best on v5e (6059 audio-s/s vs 5925
+        # at chunk=8, 5300 at chunk=32)
         P = image.num_phones
         B = image.num_biphones
         if image.num_triphones != P ** 3 or B != P * P:
@@ -530,6 +532,7 @@ class PallasCollapsedViterbi:
             ],
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("arbitrary", "arbitrary"),
+                vmem_limit_bytes=100 * 1024 * 1024,
             ),
             interpret=self.interpret,
         )(lengths, vals, self._sel_lo, self._sel_hi, self._tps,
