@@ -141,26 +141,24 @@ def bench_training(rng, peaks):
     Returns a dict of train_* metrics merged into the bench JSON:
     frames/s, step time, and MFU (model FLOPs / wall-clock vs peak,
     counting backward as 2x forward) for (a) LSTM 4x1024 TBPTT bproplen
-    20 batch 128 and (b) FF 8x2048 batch 1024; plus the measured
-    speedup of the scanned-epoch dispatch over the per-minibatch
-    dispatch loop it replaced.
+    20 batch 128 and (b) FF 8x2048 batch 1024; plus both engine epoch
+    dispatch modes (per_step default vs scan-of-updates) so the
+    default's advantage stays auditable per round.
     """
-    import optax
     from nnacousticmodeling_tpu.models import get_network
     from nnacousticmodeling_tpu.train.engine import (
         TrainConfig, train_network)
     from nnacousticmodeling_tpu.train.stages import TrainStage
-    from nnacousticmodeling_tpu.train.streams import (
-        sentence_shuffle_indices, stream_batch_indices)
 
     out = {}
 
-    def run(net, x, y, offsets, bs, dtype, epochs=TRAIN_EPOCHS):
+    def run(net, x, y, offsets, bs, dtype, epochs=TRAIN_EPOCHS,
+            dispatch="auto"):
         cfg = TrainConfig(
             stages=[TrainStage(optimizer="momentumsgd", batch_size=bs,
                                lr=1e-2, epoch=epochs, early_stopping=False)],
             bprop_len=20, use_validation=False, log=lambda s: None,
-            compute_dtype=dtype)
+            compute_dtype=dtype, dispatch=dispatch)
         res = train_network(net, x, y, cfg, offsets=offsets)
         times = [h["elapsed_time"] for h in res.history]
         return min(times[1:])        # skip the compile epoch
@@ -208,52 +206,17 @@ def bench_training(rng, peaks):
     except Exception as e:          # non-TPU / older Mosaic
         log(f"pallas training scan unavailable ({type(e).__name__})")
 
-    # --- the per-minibatch dispatch loop this round replaced ------------
-    # (same math: jitted update per TBPTT minibatch, host loop between)
-    params = lstm.init(jax.random.PRNGKey(0), DIM)
-    opt = optax.sgd(1e-2, momentum=0.9)
-    opt_state = opt.init(params)
-    xd, yd = jnp.asarray(x), jnp.asarray(y)
-
-    @jax.jit
-    def step_update(params, opt_state, state, idx, xd, yd):
-        xb = jnp.take(xd, idx.reshape(-1), axis=0).reshape(BSL, LL, -1)
-        yb = jnp.take(yd, idx.reshape(-1), axis=0).reshape(BSL, LL)
-
-        def loss_fn(p):
-            logits, new_state = lstm.apply_sequence(p, xb, state)
-            loss = optax.softmax_cross_entropy_with_integer_labels(
-                logits, yb).mean(axis=0).sum()
-            return loss, new_state
-
-        (loss, new_state), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(params)
-        updates, opt_state = opt.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), opt_state, new_state, loss
-
-    rng_np = np.random.default_rng(0)
-
-    def dispatch_epoch():
-        nonlocal params, opt_state
-        state = lstm.init_state(BSL)
-        shuffled = sentence_shuffle_indices(offsets, n, rng_np)
-        loss = None
-        for s in range(STEPS):
-            idx = jnp.asarray(stream_batch_indices(shuffled, BSL, s * LL, LL))
-            params, opt_state, state, loss = step_update(
-                params, opt_state, state, idx, xd, yd)
-        return float(loss)           # force completion
-
-    dispatch_epoch()                 # compile
-    t0 = time.time()
-    dispatch_epoch()
-    t_dispatch = time.time() - t0
-    speedup = (t_dispatch / STEPS * 1000) / out["train_lstm_step_ms_f32"]
-    out["train_lstm_step_ms_f32_per_step_dispatch"] = round(
-        t_dispatch / STEPS * 1000, 2)
+    # --- engine dispatch modes: per_step (default) vs scan ---------------
+    # (engine.py _resolve_dispatch: "auto" -> per_step, the measured
+    # winner on async-dispatch hosts; record both so the default's
+    # advantage is auditable per round)
+    t_scan = run(lstm, x, y, offsets, BSL, "float32", dispatch="scan")
+    out["train_lstm_step_ms_f32_scan"] = round(t_scan / STEPS * 1000, 2)
+    speedup = (t_scan / STEPS * 1000) / out["train_lstm_step_ms_f32"]
     out["train_lstm_dispatch_speedup"] = round(speedup, 2)
-    log(f"train lstm f32 per-step dispatch: {t_dispatch / STEPS * 1e3:.1f} "
-        f"ms/step -> scanned-epoch speedup {speedup:.2f}x")
+    log(f"train lstm f32 scan-epoch dispatch: {t_scan / STEPS * 1e3:.1f} "
+        f"ms/step -> default(per_step) is {speedup:.2f}x vs scan "
+        f"(>1 means the default mode is the faster measured one)")
 
     # --- FF 8x2048, batch 1024, 440-dim spliced inputs ------------------
     BSF, STEPS_F = 1024, 48

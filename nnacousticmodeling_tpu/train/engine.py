@@ -76,6 +76,24 @@ class TrainConfig:
     # called after each epoch's snapshot write as hook(stage, epoch);
     # fault-injection hook for crash/preemption testing
     epoch_hook: Optional[Callable[[int, int], None]] = None
+    # epoch dispatch mode: "per_step" dispatches one jitted update per
+    # TBPTT minibatch (async dispatch pipelines the host loop away);
+    # "scan" compiles the whole epoch as one lax.scan-of-updates
+    # program. Measured on v5e (BENCH r04/r05): per_step is ~10% FASTER
+    # than scan on async-dispatch hosts — the scan carries the full
+    # param/optimizer state through the loop, which costs XLA copies —
+    # so "auto" resolves to per_step. "scan" remains for hosts whose
+    # dispatch is synchronous (one dispatch per epoch total).
+    dispatch: str = "auto"
+
+
+def _resolve_dispatch(config) -> str:
+    mode = getattr(config, "dispatch", "auto")
+    if mode == "auto":
+        return "per_step"
+    if mode not in ("per_step", "scan"):
+        raise ValueError(f"dispatch must be auto|per_step|scan, got {mode}")
+    return mode
 
 
 @dataclass
@@ -492,17 +510,34 @@ def _make_ff_stage(net, opt, xd, yd, config, bs, val, apply_fn,
 
     n = int(xd.shape[0])
     steps = max(n // bs, 1)
+    step_fn = jax.jit(update_core)
 
-    def run_epoch(params, opt_state, key, rng_np):
+    def _epoch_indices(rng_np):
         if config.shuffle_sequences:
             # reference --shuffle-sequences on FF nets: B streams over
             # the sentence-shuffled corpus, one frame each per batch
-            idx_all = stream_batch_indices(
+            return stream_batch_indices(
                 sentence_shuffle_indices(offsets, n, rng_np),
                 bs, 0, steps).T                       # (steps, bs)
-        else:
-            perm = rng_np.permutation(n)
-            idx_all = perm[:steps * bs].reshape(steps, bs)
+        perm = rng_np.permutation(n)
+        return perm[:steps * bs].reshape(steps, bs)
+
+    def run_epoch(params, opt_state, key, rng_np):
+        idx_all = _epoch_indices(rng_np)
+        if _resolve_dispatch(config) == "per_step":
+            # async dispatch pipelines the host loop; identical math
+            # and rng split sequence to the scan program
+            idx_dev = jnp.asarray(idx_all)
+            losses, accs = [], []
+            for s in range(steps):
+                key, sk = jax.random.split(key)
+                params, opt_state, loss, acc = step_fn(
+                    params, opt_state, idx_dev[s], sk, xd, yd)
+                losses.append(loss)
+                accs.append(acc)
+            return (params, opt_state,
+                    float(jnp.stack(losses).mean()),
+                    float(jnp.stack(accs).mean()))
         params, opt_state, loss, acc = epoch_fn(
             params, opt_state, jnp.asarray(idx_all), key, xd, yd)
         return params, opt_state, float(loss), float(acc)
@@ -609,6 +644,7 @@ def _make_rnn_stage(net, opt, xd, yd, offsets, config, bs, val,
         return params, opt_state, state, losses.mean(), accs.mean()
 
     steps = max(n // (bs * L), 1)
+    step_fn = jax.jit(update_core)
 
     def run_epoch(params, opt_state, state, key, rng_np):
         shuffled = sentence_shuffle_indices(offsets, n, rng_np)
@@ -616,6 +652,20 @@ def _make_rnn_stage(net, opt, xd, yd, offsets, config, bs, val,
         idx_all = stream_batch_indices(shuffled, bs, 0, steps * L
                                        ).T.reshape(steps, L, bs
                                                    ).transpose(0, 2, 1)
+        if _resolve_dispatch(config) == "per_step":
+            # async dispatch pipelines the host loop; identical math
+            # and rng split sequence to the scan program
+            idx_dev = jnp.asarray(idx_all)
+            losses, accs = [], []
+            for s in range(steps):
+                key, sk = jax.random.split(key)
+                params, opt_state, state, loss, acc = step_fn(
+                    params, opt_state, state, idx_dev[s], sk, xd, yd)
+                losses.append(loss)
+                accs.append(acc)
+            return (params, opt_state, state,
+                    float(jnp.stack(losses).mean()),
+                    float(jnp.stack(accs).mean()))
         params, opt_state, state, loss, acc = epoch_fn(
             params, opt_state, state, jnp.asarray(idx_all), key, xd, yd)
         return params, opt_state, state, float(loss), float(acc)

@@ -237,6 +237,75 @@ def test_lstm_train_scan_grads_match_autodiff():
         np.testing.assert_allclose(a, b, atol=0.03 * scale, err_msg=name)
 
 
+def test_train_scan_batch_split_coverage():
+    """b=32 coverage of the train kernels at a sublane-multiple batch.
+
+    (r5 note: a two-chain batch-split port of the inference kernel's
+    trick into these train kernels was measured on v5e and REJECTED —
+    interleaved A/B medians 8.91 vs 8.70 ms/step bf16, i.e. ~2% slower;
+    the train kernels are residual-store-bound, not matmul/VPU
+    phase-bound, so the counter-phase overlap has nothing to hide.)"""
+    from nnacousticmodeling_tpu.ops.rnn_pallas import (
+        lstm_scan_mixed_reference, lstm_scan_pallas_train,
+        gated_scan_mixed_reference, gated_scan_pallas_train)
+    rng = np.random.default_rng(55)
+    T, B, H = 9, 32, 16
+    proj = jnp.asarray(rng.standard_normal((T, B, 4 * H)).astype(np.float32))
+    wh = jnp.asarray(rng.standard_normal((H, 4 * H)).astype(np.float32) * 0.2)
+    c0 = jnp.asarray(rng.standard_normal((B, H)).astype(np.float32) * 0.1)
+    h0 = jnp.asarray(rng.standard_normal((B, H)).astype(np.float32) * 0.1)
+    w_out = jnp.asarray(rng.standard_normal((H, 4)).astype(np.float32))
+
+    (ct_r, ht_r), hs_r = lstm_scan_mixed_reference(proj, wh, c0, h0)
+    (ct_k, ht_k), hs_k = lstm_scan_pallas_train(proj, wh, c0, h0)
+    # CPU matmul blocking differs by shape -> ulp-level drift allowed
+    np.testing.assert_allclose(np.asarray(ct_k), np.asarray(ct_r), atol=5e-5)
+    np.testing.assert_allclose(np.asarray(hs_k, np.float32),
+                               np.asarray(hs_r, np.float32), atol=2e-3)
+
+    def loss_k(proj, wh, c0, h0):
+        (ct, ht), hs = lstm_scan_pallas_train(proj, wh, c0, h0)
+        return jnp.tanh(hs.astype(jnp.float32) @ w_out).sum() + ct.sum()
+
+    def loss_r(proj, wh, c0, h0):
+        (ct, ht), hs = lstm_scan_mixed_reference(proj, wh, c0, h0)
+        return jnp.tanh(hs.astype(jnp.float32) @ w_out).sum() + ct.sum()
+
+    g_k = jax.grad(loss_k, argnums=(0, 1, 2, 3))(proj, wh, c0, h0)
+    g_r = jax.grad(loss_r, argnums=(0, 1, 2, 3))(proj, wh, c0, h0)
+    for a, b, name in zip(g_k, g_r, ["dproj", "dwh", "dc0", "dh0"]):
+        a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
+        scale = max(np.abs(b).max(), 1e-3)
+        np.testing.assert_allclose(a, b, atol=0.03 * scale, err_msg=name)
+
+    gproj = jnp.asarray(rng.standard_normal((T, B, 3 * H)).astype(np.float32))
+    w1 = jnp.asarray(rng.standard_normal((H, 2 * H)).astype(np.float32) * 0.2)
+    w2 = jnp.asarray(rng.standard_normal((H, H)).astype(np.float32) * 0.2)
+    ht_r2, hs_r2 = gated_scan_mixed_reference(gproj, w1, w2, h0, kind="gru",
+                                              activation=jnp.tanh)
+    ht_k2, hs_k2 = gated_scan_pallas_train(gproj, w1, w2, h0, kind="gru",
+                                           activation="tanh")
+    np.testing.assert_allclose(np.asarray(hs_k2, np.float32),
+                               np.asarray(hs_r2, np.float32), atol=2e-3)
+
+    def gloss_k(proj, w1, w2, h0):
+        ht, hs = gated_scan_pallas_train(proj, w1, w2, h0, kind="gru",
+                                         activation="tanh")
+        return jnp.tanh(hs.astype(jnp.float32) @ w_out).sum() + ht.sum()
+
+    def gloss_r(proj, w1, w2, h0):
+        ht, hs = gated_scan_mixed_reference(proj, w1, w2, h0, kind="gru",
+                                            activation=jnp.tanh)
+        return jnp.tanh(hs.astype(jnp.float32) @ w_out).sum() + ht.sum()
+
+    g_k = jax.grad(gloss_k, argnums=(0, 1, 2, 3))(gproj, w1, w2, h0)
+    g_r = jax.grad(gloss_r, argnums=(0, 1, 2, 3))(gproj, w1, w2, h0)
+    for a, b, name in zip(g_k, g_r, ["dproj", "dw1", "dw2", "dh0"]):
+        a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
+        scale = max(np.abs(b).max(), 1e-3)
+        np.testing.assert_allclose(a, b, atol=0.03 * scale, err_msg=name)
+
+
 @pytest.mark.parametrize("t", [5, 6, 7])
 def test_train_scan_grads_awkward_lengths(t):
     """T=5..7 regression: the forward pads to a multiple of min(8, T),

@@ -97,6 +97,37 @@ def test_rnn_training_learns(syn):
     assert res.history[-1]["main/loss"] < res.history[0]["main/loss"]
 
 
+@pytest.mark.parametrize("net_name,kwargs", [
+    ("ff", {}), ("gru", {"offsets": True})])
+def test_dispatch_modes_equivalent(syn, net_name, kwargs):
+    """per_step and scan epoch dispatch must produce the same training
+    trajectory (same rng split sequence, same update math); the engine
+    default ("auto") resolves to the measured-faster per_step."""
+    _, corpus = syn
+    net = get_network(net_name, 1, [16], 16)
+    runs = {}
+    for mode in ("per_step", "scan"):
+        cfg = TrainConfig(
+            stages=[TrainStage(epoch=3, optimizer="adam", batch_size=16,
+                               lr=1e-3, early_stopping=False)],
+            bprop_len=10, seed=0, log=None, dispatch=mode)
+        kw = dict(x_dev=corpus.dev.data, y_dev=corpus.dev.targets)
+        if kwargs.get("offsets"):
+            kw["offsets"] = corpus.train.offsets
+        runs[mode] = train_network(net, corpus.train.data,
+                                   corpus.train.targets, cfg, **kw)
+    for ha, hb in zip(runs["per_step"].history, runs["scan"].history):
+        np.testing.assert_allclose(ha["main/loss"], hb["main/loss"],
+                                   rtol=1e-5)
+    la = jax.tree_util.tree_leaves(runs["per_step"].params)
+    lb = jax.tree_util.tree_leaves(runs["scan"].params)
+    for a, b in zip(la, lb):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5)
+    from nnacousticmodeling_tpu.train.engine import _resolve_dispatch
+    assert _resolve_dispatch(TrainConfig(stages=[])) == "per_step"
+
+
 def test_multi_stage_switches_optimizer(syn):
     _, corpus = syn
     net = get_network("ff", 1, [16], 16)
