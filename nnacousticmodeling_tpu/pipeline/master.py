@@ -189,7 +189,9 @@ def main(arg_list=None):
         "--fold-offset-pattern", args.fold_offset_pattern,
         "--fold-target-pattern", args.fold_target_pattern,
         "--fold-network-pattern", args.fold_network_pattern,
-        "--out", "result_fold_tmp"]
+        # fold-training scratch output (args.txt/log/curves) lives in
+        # the derived results tree, not CWD
+        "--out", str(Path(args.fold_model_dir) / "result_fold_tmp")]
     if args.num_folds > 0 and not args.no_train_folds:
         if args.fold_parallel:
             # all K folds as ONE vmapped/sharded program, replacing the

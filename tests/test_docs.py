@@ -22,6 +22,9 @@ ROW_KEYS = {
     "forward-only f32": "forward_f32_audio_s_per_s",
     "decode-only": "decode_audio_s_per_s",
     "forward TFLOP/s (bf16)": "forward_tflops_bf16",
+    "train lstm step ms bf16 pallas": "train_lstm_step_ms_bf16_pallas",
+    "train lstm MFU bf16 pallas": "train_lstm_mfu_bf16_pallas",
+    "train ff step ms bf16": "train_ff_step_ms_bf16",
     "vs reference-style": "vs_baseline",
 }
 
@@ -88,6 +91,30 @@ def test_measured_table_matches_bench_json():
                     f"BENCH_r{rnd:02d}.json says {got}")
     assert checked >= 6, "truth gate matched too few cells — table reshaped?"
     assert not errors, "\n".join(errors)
+
+
+def test_measured_table_has_column_per_captured_round():
+    """A BENCH_r{N}.json without a matching rNN table column let r04's
+    numbers live only in prose — the gate now REQUIRES one column per
+    captured round so a missing round fails instead of passing
+    silently."""
+    bench = _bench_values()
+    if not bench:
+        pytest.skip("no BENCH_r*.json captured yet")
+    rows = _measured_table()
+    table_rounds = set()
+    for cells in rows.values():
+        table_rounds.update(cells.keys())
+    missing = sorted(set(bench) - table_rounds)
+    assert not missing, (
+        f"BENCH_r*.json captured for rounds {missing} but BASELINE.md's "
+        f"measured table has no matching rNN column")
+    # and each captured round must have at least a few checkable cells
+    for rnd in bench:
+        n = sum(1 for label, cells in rows.items()
+                if any(k in label for k in ROW_KEYS)
+                and _cell_number(cells.get(rnd, "")) is not None)
+        assert n >= 3, f"round r{rnd:02d} column has only {n} numeric cells"
 
 
 def test_no_dangling_roofline_citation():

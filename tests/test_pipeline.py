@@ -3,6 +3,8 @@ the six-phase master orchestration (folds -> master -> fold nets ->
 predictions -> RPL -> ensemble evaluation) producing real PER numbers
 through the in-process Viterbi decode."""
 
+from pathlib import Path
+
 import numpy as np
 import pytest
 
@@ -68,6 +70,11 @@ def test_master_pipeline_ensemble(corpus_root):
     full = results[("test", "+folds +master -rpl")]
     master_only = results[("test", "-folds +master -rpl")]
     assert full <= master_only + 15.0
+    # fold-training scratch output must land in the derived results
+    # tree, not the CWD (r4 hygiene finding: stray ./result_fold_tmp)
+    assert not Path("result_fold_tmp").exists()
+    assert (Path(corpus_root) / "results" / "models" / "folds"
+            ).is_dir()
 
 
 def test_master_pipeline_fold_parallel_sharded(corpus_root):
