@@ -107,6 +107,11 @@ class PallasCollapsedViterbi:
         self.P, self.B, self.S = P, B, image.num_states
         self.PS = _ceil(P, 8)
         PS = self.PS
+        if interpret:
+            # interpret mode executes the unrolled frame bodies in
+            # Python — shrink the per-grid-step work (the chunk-skip /
+            # interleave logic is structurally identical at any size)
+            chunk, n_utt = min(chunk, 4), 1
         self.chunk = chunk
         self.n_utt = max(1, n_utt)
         self.interpret = interpret

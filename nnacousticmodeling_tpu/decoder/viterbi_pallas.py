@@ -116,6 +116,9 @@ class PallasCubeViterbi:
         self.P, self.B, self.S = P, B, image.num_states
         self.PS = _ceil(P, 8)
         PS = self.PS
+        if interpret:
+            # shrink per-grid-step work off-TPU (see viterbi_collapsed)
+            chunk, n_utt = min(chunk, 4), 1
         self.chunk = chunk
         # utterances interleaved per kernel instance: their frame
         # chains are independent so the scheduler can overlap them

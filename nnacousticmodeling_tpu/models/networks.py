@@ -398,6 +398,13 @@ class PeepholeLSTM(_RecurrentStack):
                                     params["peep_f"], params["peep_o"],
                                     c, h)
 
+    def _cell_scan_pallas_train(self, params, carry, proj):
+        from ..ops.rnn_pallas import peephole_scan_pallas_train
+        c, h = carry
+        return peephole_scan_pallas_train(
+            proj, params["wh"], params["peep_i"], params["peep_f"],
+            params["peep_o"], c, h)
+
     def _cell_state(self, batch):
         return cells.lstm_init_state(batch, self.units)
 

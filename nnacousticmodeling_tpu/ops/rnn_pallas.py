@@ -989,6 +989,320 @@ def gated_scan_pallas_train(proj, w1, w2, h0, *, kind, activation="tanh"):
     return _gated_train(kind, activation, proj, w1, w2, h0)
 
 
+def _peep_train_fwd_impl(proj, wh, pi, pf, po, c0, h0, *, time_block=8,
+                         vmem_limit_bytes=100 * 1024 * 1024,
+                         interpret=None):
+    """Peephole forward streaming the backward's residuals:
+    [a | i | f | o | tanh(c_t) | c_{t-1} | h_{t-1} | c_t] as one
+    (T, B, 8H) bf16 row per step."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    t, b, g = proj.shape
+    H = wh.shape[0]
+    out_dtype = proj.dtype
+    tb = max(1, min(time_block, t))
+    tp = _cdiv(t, tb) * tb
+    if tp != t:
+        proj = jnp.pad(proj, ((0, tp - t), (0, 0), (0, 0)))
+    projb = proj.astype(jnp.bfloat16)
+    whb = wh.astype(jnp.bfloat16)
+    pib = pi.astype(jnp.bfloat16)
+    pfb = pf.astype(jnp.bfloat16)
+    pob = po.astype(jnp.bfloat16)
+    c0f = c0.astype(jnp.float32)
+    h0f = h0.astype(jnp.float32)
+
+    def kernel(proj_ref, wh_ref, pi_ref, pf_ref, po_ref, c0_ref, h0_ref,
+               hs_ref, res_ref, ct_ref, ht_ref, c_scr, h_scr):
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            c_scr[:] = c0_ref[:]
+            h_scr[:] = h0_ref[:]
+
+        base = pl.program_id(0) * tb
+
+        def mm(x, w_ref):
+            return jnp.dot(x.astype(jnp.bfloat16), w_ref[:],
+                           preferred_element_type=jnp.float32)
+
+        def step(i, _):
+            c_prev = c_scr[:]
+            h_prev = h_scr[:]
+            z = proj_ref[i].astype(jnp.float32) + mm(h_prev, wh_ref)
+            a = jnp.tanh(z[:, :H])
+            ig = jax.nn.sigmoid(z[:, H:2 * H] + mm(c_prev, pi_ref))
+            f = jax.nn.sigmoid(z[:, 2 * H:3 * H] + mm(c_prev, pf_ref))
+            c = f * c_prev + ig * a
+            o = jax.nn.sigmoid(z[:, 3 * H:] + mm(c, po_ref))
+            tc = jnp.tanh(c)
+            h = o * tc
+            live = base + i < t
+            c_scr[:] = jnp.where(live, c, c_prev)
+            h_scr[:] = jnp.where(live, h, h_prev)
+            hs_ref[i] = h.astype(hs_ref.dtype)
+            res_ref[i, :, 0:H] = a.astype(jnp.bfloat16)
+            res_ref[i, :, H:2 * H] = ig.astype(jnp.bfloat16)
+            res_ref[i, :, 2 * H:3 * H] = f.astype(jnp.bfloat16)
+            res_ref[i, :, 3 * H:4 * H] = o.astype(jnp.bfloat16)
+            res_ref[i, :, 4 * H:5 * H] = tc.astype(jnp.bfloat16)
+            res_ref[i, :, 5 * H:6 * H] = c_prev.astype(jnp.bfloat16)
+            res_ref[i, :, 6 * H:7 * H] = h_prev.astype(jnp.bfloat16)
+            res_ref[i, :, 7 * H:8 * H] = c.astype(jnp.bfloat16)
+            return 0
+
+        jax.lax.fori_loop(0, tb, step, 0)
+        ct_ref[:] = c_scr[:]
+        ht_ref[:] = h_scr[:]
+
+    const = lambda i: (0, 0)
+    hs, res, c_t, h_t = pl.pallas_call(
+        kernel,
+        grid=(tp // tb,),
+        in_specs=[
+            pl.BlockSpec((tb, b, g), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, g), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, H), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, H), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, H), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, H), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, H), const, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tb, b, H), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, b, 8 * H), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, H), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, H), const, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((tp, b, H), out_dtype),
+            jax.ShapeDtypeStruct((tp, b, 8 * H), jnp.bfloat16),
+            jax.ShapeDtypeStruct((b, H), jnp.float32),
+            jax.ShapeDtypeStruct((b, H), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((b, H), jnp.float32),
+            pltpu.VMEM((b, H), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=vmem_limit_bytes,
+        ),
+        interpret=interpret,
+    )(projb, whb, pib, pfb, pob, c0f, h0f)
+    return hs[:t], res, c_t, h_t
+
+
+def _peep_train_bwd_impl(res, whT, piT, pfT, poT, dhs, dct, dht, t,
+                         proj_dtype, w_dtype, *, time_block=4,
+                         vmem_limit_bytes=110 * 1024 * 1024,
+                         interpret=None):
+    """Reverse-time peephole backward: W^T, the three peep^T matrices
+    and all four f32 dW accumulators stay VMEM-resident; dW/dPeep
+    accumulate per time block as MXU contractions over the block's
+    residual rows (see ``_lstm_train_bwd_impl``)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    tp, b, eight_h = res.shape
+    H = eight_h // 8
+    g = 4 * H
+    tb = max(1, min(time_block, tp))
+    # pad to a multiple of THIS kernel's tb (forward pads to min(8, T))
+    nb = _cdiv(tp, tb)
+    tp = nb * tb
+    if res.shape[0] != tp:
+        res = jnp.pad(res, ((0, tp - res.shape[0]), (0, 0), (0, 0)))
+    if dhs.shape[0] != tp:
+        dhs = jnp.pad(dhs, ((0, tp - dhs.shape[0]), (0, 0), (0, 0)))
+    dhs = dhs.astype(jnp.float32)
+    dct = dct.astype(jnp.float32)
+    dht = dht.astype(jnp.float32)
+
+    def kernel(res_ref, dhs_ref, whT_ref, piT_ref, pfT_ref, poT_ref,
+               dct_ref, dht_ref,
+               dproj_ref, dwh_ref, dpi_ref, dpf_ref, dpo_ref,
+               dc0_ref, dh0_ref,
+               dc_scr, dh_scr, dw_scr, dpi_scr, dpf_scr, dpo_scr, dz_scr):
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            dc_scr[:] = dct_ref[:]
+            dh_scr[:] = dht_ref[:]
+            dw_scr[:] = jnp.zeros((H, g), jnp.float32)
+            dpi_scr[:] = jnp.zeros((H, H), jnp.float32)
+            dpf_scr[:] = jnp.zeros((H, H), jnp.float32)
+            dpo_scr[:] = jnp.zeros((H, H), jnp.float32)
+
+        base = (nb - 1 - i) * tb
+
+        def step(j, _):
+            idx = tb - 1 - j
+            live = base + idx < t
+            a = res_ref[idx, :, 0:H].astype(jnp.float32)
+            ig = res_ref[idx, :, H:2 * H].astype(jnp.float32)
+            f = res_ref[idx, :, 2 * H:3 * H].astype(jnp.float32)
+            o = res_ref[idx, :, 3 * H:4 * H].astype(jnp.float32)
+            tc = res_ref[idx, :, 4 * H:5 * H].astype(jnp.float32)
+            c_prev = res_ref[idx, :, 5 * H:6 * H].astype(jnp.float32)
+
+            dh_tot = dhs_ref[idx] + dh_scr[:]
+            dz_o = (dh_tot * tc) * o * (1.0 - o)
+            zero = jnp.zeros((b, H), jnp.float32)
+            dz_o = jnp.where(live, dz_o, zero)
+            # c feeds h (through o's peephole) AND the o-gate preact
+            dc = (dc_scr[:] + dh_tot * o * (1.0 - tc * tc)
+                  + jnp.dot(dz_o.astype(jnp.bfloat16), poT_ref[:],
+                            preferred_element_type=jnp.float32))
+            da = dc * ig
+            dig = dc * a
+            df = dc * c_prev
+            dz_a = da * (1.0 - a * a)
+            dz_i = dig * ig * (1.0 - ig)
+            dz_f = df * f * (1.0 - f)
+            dz_a = jnp.where(live, dz_a, zero)
+            dz_i = jnp.where(live, dz_i, zero)
+            dz_f = jnp.where(live, dz_f, zero)
+            dproj_ref[idx, :, 0:H] = dz_a.astype(dproj_ref.dtype)
+            dproj_ref[idx, :, H:2 * H] = dz_i.astype(dproj_ref.dtype)
+            dproj_ref[idx, :, 2 * H:3 * H] = dz_f.astype(dproj_ref.dtype)
+            dproj_ref[idx, :, 3 * H:4 * H] = dz_o.astype(dproj_ref.dtype)
+            dz_scr[idx, :, 0:H] = dz_a.astype(jnp.bfloat16)
+            dz_scr[idx, :, H:2 * H] = dz_i.astype(jnp.bfloat16)
+            dz_scr[idx, :, 2 * H:3 * H] = dz_f.astype(jnp.bfloat16)
+            dz_scr[idx, :, 3 * H:4 * H] = dz_o.astype(jnp.bfloat16)
+            dc_prev = (dc * f
+                       + jnp.dot(dz_scr[idx, :, H:2 * H], piT_ref[:],
+                                 preferred_element_type=jnp.float32)
+                       + jnp.dot(dz_scr[idx, :, 2 * H:3 * H], pfT_ref[:],
+                                 preferred_element_type=jnp.float32))
+            dh_prev = jnp.dot(dz_scr[idx], whT_ref[:],
+                              preferred_element_type=jnp.float32)
+            dc_scr[:] = jnp.where(live, dc_prev, dc_scr[:])
+            dh_scr[:] = jnp.where(live, dh_prev, dh_scr[:])
+            return 0
+
+        jax.lax.fori_loop(0, tb, step, 0)
+
+        h_prev_blk = res_ref[:, :, 6 * H:7 * H].reshape(tb * b, H)
+        c_prev_blk = res_ref[:, :, 5 * H:6 * H].reshape(tb * b, H)
+        c_blk = res_ref[:, :, 7 * H:8 * H].reshape(tb * b, H)
+        dz_blk = dz_scr[:].reshape(tb * b, g)
+
+        def acc(x, y):
+            return jax.lax.dot_general(
+                x, y, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+        dw_scr[:] = dw_scr[:] + acc(h_prev_blk, dz_blk)
+        dpi_scr[:] = dpi_scr[:] + acc(c_prev_blk, dz_blk[:, H:2 * H])
+        dpf_scr[:] = dpf_scr[:] + acc(c_prev_blk, dz_blk[:, 2 * H:3 * H])
+        dpo_scr[:] = dpo_scr[:] + acc(c_blk, dz_blk[:, 3 * H:4 * H])
+
+        @pl.when(i == nb - 1)
+        def _():
+            dwh_ref[:] = dw_scr[:].astype(dwh_ref.dtype)
+            dpi_ref[:] = dpi_scr[:].astype(dpi_ref.dtype)
+            dpf_ref[:] = dpf_scr[:].astype(dpf_ref.dtype)
+            dpo_ref[:] = dpo_scr[:].astype(dpo_ref.dtype)
+            dc0_ref[:] = dc_scr[:]
+            dh0_ref[:] = dh_scr[:]
+
+    const = lambda i: (0, 0)
+    rev = lambda i: (nb - 1 - i, 0, 0)
+    dproj, dwh, dpi, dpf, dpo, dc0, dh0 = pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((tb, b, eight_h), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, b, H), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, H), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, H), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, H), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, H), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, H), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, H), const, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tb, b, g), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, g), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, H), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, H), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, H), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, H), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, H), const, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((tp, b, g), proj_dtype),
+            jax.ShapeDtypeStruct((H, g), w_dtype),
+            jax.ShapeDtypeStruct((H, H), w_dtype),
+            jax.ShapeDtypeStruct((H, H), w_dtype),
+            jax.ShapeDtypeStruct((H, H), w_dtype),
+            jax.ShapeDtypeStruct((b, H), jnp.float32),
+            jax.ShapeDtypeStruct((b, H), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((b, H), jnp.float32),
+            pltpu.VMEM((b, H), jnp.float32),
+            pltpu.VMEM((H, g), jnp.float32),
+            pltpu.VMEM((H, H), jnp.float32),
+            pltpu.VMEM((H, H), jnp.float32),
+            pltpu.VMEM((H, H), jnp.float32),
+            pltpu.VMEM((tb, b, g), jnp.bfloat16),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=vmem_limit_bytes,
+        ),
+        interpret=interpret,
+    )(res, dhs, whT, piT, pfT, poT, dct, dht)
+    return dproj[:t], dwh, dpi, dpf, dpo, dc0, dh0
+
+
+@jax.custom_vjp
+def peephole_scan_pallas_train(proj, wh, peep_i, peep_f, peep_o, c0, h0):
+    """Differentiable weight-resident Peephole-LSTM scan.
+
+    Forward math is ``peephole_scan_pallas``'s; the custom backward is
+    a reverse-time Pallas kernel with W_h^T, the peephole transposes
+    and all four f32 dW accumulators VMEM-resident (see
+    ``lstm_scan_pallas_train`` for the bandwidth argument).  Completes
+    the zoo's training coverage (chainer_networks.py:103-121)."""
+    out, _ = _peep_train_vjp_fwd(proj, wh, peep_i, peep_f, peep_o, c0, h0)
+    return out
+
+
+def _peep_train_vjp_fwd(proj, wh, pi, pf, po, c0, h0):
+    hs, res, c_t, h_t = _peep_train_fwd_impl(proj, wh, pi, pf, po, c0, h0)
+    carry_dtype = c0.dtype
+    out = ((c_t.astype(carry_dtype), h_t.astype(carry_dtype)), hs)
+    saved = (res, wh, pi, pf, po, jnp.zeros((0,), proj.dtype))
+    return out, saved
+
+
+def _peep_train_vjp_bwd(saved, cot):
+    res, wh, pi, pf, po, proj_witness = saved
+    (dct, dht), dhs = cot
+    t = dhs.shape[0]
+    dproj, dwh, dpi, dpf, dpo, dc0, dh0 = _peep_train_bwd_impl(
+        res, wh.astype(jnp.bfloat16).T, pi.astype(jnp.bfloat16).T,
+        pf.astype(jnp.bfloat16).T, po.astype(jnp.bfloat16).T,
+        dhs, dct, dht, t, proj_witness.dtype, wh.dtype)
+    return (dproj, dwh, dpi, dpf, dpo,
+            dc0.astype(dct.dtype), dh0.astype(dht.dtype))
+
+
+peephole_scan_pallas_train.defvjp(_peep_train_vjp_fwd, _peep_train_vjp_bwd)
+
+
 def peephole_scan_pallas(proj, wh, peep_i, peep_f, peep_o, c0, h0, *,
                          time_block: int = 8,
                          vmem_limit_bytes: int = 64 * 1024 * 1024,

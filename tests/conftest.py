@@ -27,6 +27,27 @@ import pytest
 REFERENCE_DIR = "/root/reference"
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: heavyweight test (multi-process spawns, interpreted-"
+        "Pallas real-image runs); deselected by default — run the full "
+        "pass with `pytest -m 'slow or not slow'`")
+
+
+def pytest_collection_modifyitems(config, items):
+    """Keep the default edit-loop run fast: tests marked ``slow`` are
+    skipped unless an explicit -m expression selects them. The full
+    pass is `pytest -m "slow or not slow"` (documented in README)."""
+    if config.getoption("-m"):
+        return
+    skip = pytest.mark.skip(
+        reason="slow; run with -m 'slow or not slow' for the full pass")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)

@@ -36,6 +36,7 @@ def test_ctc_loss_finite(rng):
     assert np.isfinite(float(loss))
 
 
+@pytest.mark.slow
 def test_ctc_learns_synthetic():
     img = make_synthetic_image(num_phones=4, num_states=16, seed=5, tied=False)
     corpus = make_synthetic_corpus(img, dim=10, num_train=32, num_dev=8,

@@ -232,7 +232,7 @@ def test_collapsed_beam_matches_xla():
     lp, lens = _rand_posteriors(rng, 3, 17, img.num_states)
     import jax
     import jax.numpy as jnp
-    for beam in (2.0, 1e9):
+    for beam in (2.0,):     # narrow beam; wide-beam==exact is covered
         xla = ViterbiDecoder(img, pip=5.0, lmw=1.0, backend="xla",
                              beam=beam)
         col = ViterbiDecoder(img, pip=5.0, lmw=1.0, backend="collapsed",

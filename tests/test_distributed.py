@@ -14,6 +14,8 @@ from pathlib import Path
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # 2-process jax.distributed spawns
+
 WORKER = str(Path(__file__).parent / "distributed_worker.py")
 
 

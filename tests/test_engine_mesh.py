@@ -110,6 +110,7 @@ def test_mesh_batch_divisibility_validated(rng):
                       _config(stages, mesh=make_mesh({"data": 4})))
 
 
+@pytest.mark.slow
 def test_train_cli_mesh_flag(tmp_path, rng):
     """The user-facing flag: train_cli --mesh produces the same model
     as the unsharded run."""

@@ -120,6 +120,7 @@ def test_pipeline_forward_matches_single_device(rng):
         np.testing.assert_allclose(got, want, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_pipeline_grads_match_single_device(rng):
     """Gradients THROUGH the pipeline (shard_map + ppermute) must match
     the single-device gradients — the PP training story."""

@@ -44,6 +44,7 @@ def test_single_ff_train_and_eval(corpus_root, tmp_path):
     assert per < 40.0, f"trained FF PER too high: {per}"
 
 
+@pytest.mark.slow
 def test_master_pipeline_ensemble(corpus_root):
     """All six phases with 2 folds + master + RPL; every ensemble combo
     evaluates and the fold ensemble must beat chance decisively."""
@@ -77,6 +78,7 @@ def test_master_pipeline_ensemble(corpus_root):
             ).is_dir()
 
 
+@pytest.mark.slow
 def test_master_pipeline_fold_parallel_sharded(corpus_root):
     """The six-phase master pipeline with --fold-parallel --mesh: folds
     train as ONE sharded program over a 2-device fold axis and the

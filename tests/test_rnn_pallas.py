@@ -503,6 +503,85 @@ def test_peephole_scan_pallas_matches_mixed_reference():
                                rtol=0, atol=2e-7)
 
 
+@pytest.mark.parametrize("t", [6, 11])
+def test_peephole_train_scan_forward_and_grads(t):
+    """Trainable peephole kernel: forward equals the inference kernel
+    bit-for-bit; grads (incl. the three peephole matrices) match
+    autodiff through the mixed reference. T=6 covers the backward
+    tb=4 padding path."""
+    from nnacousticmodeling_tpu.ops.rnn_pallas import (
+        peephole_scan_mixed_reference, peephole_scan_pallas,
+        peephole_scan_pallas_train)
+    rng = np.random.default_rng(61)
+    B, H = 8, 16
+    proj = jnp.asarray(rng.standard_normal((t, B, 4 * H)).astype(np.float32))
+    wh = jnp.asarray(rng.standard_normal((H, 4 * H)).astype(np.float32) * 0.2)
+    peeps = [jnp.asarray(rng.standard_normal((H, H)).astype(np.float32) * 0.2)
+             for _ in range(3)]
+    c0 = jnp.asarray(rng.standard_normal((B, H)).astype(np.float32) * 0.1)
+    h0 = jnp.asarray(rng.standard_normal((B, H)).astype(np.float32) * 0.1)
+    w_out = jnp.asarray(rng.standard_normal((H, 4)).astype(np.float32))
+
+    (ct_a, ht_a), hs_a = peephole_scan_pallas(proj, wh, *peeps, c0, h0)
+    (ct_b, ht_b), hs_b = peephole_scan_pallas_train(proj, wh, *peeps,
+                                                    c0, h0)
+    np.testing.assert_array_equal(np.asarray(hs_a), np.asarray(hs_b))
+    np.testing.assert_array_equal(np.asarray(ct_a), np.asarray(ct_b))
+
+    def loss_k(proj, wh, pi, pf, po, c0, h0):
+        (ct, ht), hs = peephole_scan_pallas_train(proj, wh, pi, pf, po,
+                                                  c0, h0)
+        return (jnp.tanh(hs.astype(jnp.float32) @ w_out).sum()
+                + 0.5 * ct.sum() + 0.25 * ht.sum())
+
+    def loss_r(proj, wh, pi, pf, po, c0, h0):
+        (ct, ht), hs = peephole_scan_mixed_reference(proj, wh, pi, pf, po,
+                                                     c0, h0)
+        return (jnp.tanh(hs.astype(jnp.float32) @ w_out).sum()
+                + 0.5 * ct.sum() + 0.25 * ht.sum())
+
+    args = (proj, wh, *peeps, c0, h0)
+    g_k = jax.grad(loss_k, argnums=tuple(range(7)))(*args)
+    g_r = jax.grad(loss_r, argnums=tuple(range(7)))(*args)
+    names = ["dproj", "dwh", "dpi", "dpf", "dpo", "dc0", "dh0"]
+    for a, b, name in zip(g_k, g_r, names):
+        a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
+        scale = max(np.abs(b).max(), 1e-3)
+        np.testing.assert_allclose(a, b, atol=0.03 * scale,
+                                   err_msg=f"T={t} {name}")
+
+
+def test_peephole_network_trains_with_pallas_scan():
+    """End-to-end: a PeepholeLSTM net with scan_impl='pallas' trains
+    (loss decreases) through the custom-VJP kernel."""
+    import optax
+    from nnacousticmodeling_tpu.models import get_network
+    rng = np.random.default_rng(62)
+    net = get_network("peepholelstm", 1, [16], 8)
+    net = dataclasses.replace(net, scan_impl="pallas")
+    params = net.init(jax.random.PRNGKey(0), 6)
+    x = jnp.asarray(rng.standard_normal((4, 12, 6)).astype(np.float32))
+    y = jnp.asarray(rng.integers(0, 8, (4, 12)).astype(np.int32))
+    opt = optax.adam(3e-2)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(params, opt_state):
+        def loss_fn(p):
+            logits, _ = net.apply_sequence(p, x, train=True)
+            return optax.softmax_cross_entropy_with_integer_labels(
+                logits, y).mean()
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        upd, opt_state = opt.update(grads, opt_state, params)
+        return optax.apply_updates(params, upd), opt_state, loss
+
+    losses = []
+    for _ in range(30):
+        params, opt_state, loss = step(params, opt_state)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0] * 0.7, losses[:3] + losses[-3:]
+
+
 def test_peephole_network_pallas_eval_close_to_xla():
     """PeepholeLSTM net with scan_impl='pallas' matches the f32 XLA
     runner to mixed-precision tolerance at eval time."""

@@ -83,6 +83,7 @@ def test_script_argv_vectors_parse(script, tmp_path):
             assert args.tri or args.num_classes, vec
 
 
+@pytest.mark.slow
 def test_lstm_folds_example_runs_end_to_end(tmp_path):
     """Execute the actual argv vector lstm_folds.sh builds (folds +
     master + RPL + full ensemble eval) against a synthetic corpus,
