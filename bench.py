@@ -206,16 +206,17 @@ def bench_training(rng, peaks):
     except Exception as e:          # non-TPU / older Mosaic
         log(f"pallas training scan unavailable ({type(e).__name__})")
 
-    # --- engine dispatch modes: per_step (default) vs scan ---------------
-    # (engine.py _resolve_dispatch: "auto" -> per_step, the measured
-    # winner on async-dispatch hosts; record both so the default's
-    # advantage is auditable per round)
-    t_scan = run(lstm, x, y, offsets, BSL, "float32", dispatch="scan")
-    out["train_lstm_step_ms_f32_scan"] = round(t_scan / STEPS * 1000, 2)
-    speedup = (t_scan / STEPS * 1000) / out["train_lstm_step_ms_f32"]
+    # --- engine dispatch modes: scan (default) vs per_step ---------------
+    # (engine.py _resolve_dispatch: "auto" -> scan, the safe measured
+    # default; per_step's per-dispatch tunnel overhead is catastrophic
+    # for Pallas-containing programs. Record both so the default's
+    # advantage stays auditable per round.)
+    t_ps = run(lstm, x, y, offsets, BSL, "float32", dispatch="per_step")
+    out["train_lstm_step_ms_f32_per_step"] = round(t_ps / STEPS * 1000, 2)
+    speedup = (t_ps / STEPS * 1000) / out["train_lstm_step_ms_f32"]
     out["train_lstm_dispatch_speedup"] = round(speedup, 2)
-    log(f"train lstm f32 scan-epoch dispatch: {t_scan / STEPS * 1e3:.1f} "
-        f"ms/step -> default(per_step) is {speedup:.2f}x vs scan "
+    log(f"train lstm f32 per-step dispatch: {t_ps / STEPS * 1e3:.1f} "
+        f"ms/step -> default(scan) is {speedup:.2f}x vs per_step "
         f"(>1 means the default mode is the faster measured one)")
 
     # --- FF 8x2048, batch 1024, 440-dim spliced inputs ------------------

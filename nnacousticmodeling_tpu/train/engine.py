@@ -76,21 +76,24 @@ class TrainConfig:
     # called after each epoch's snapshot write as hook(stage, epoch);
     # fault-injection hook for crash/preemption testing
     epoch_hook: Optional[Callable[[int, int], None]] = None
-    # epoch dispatch mode: "per_step" dispatches one jitted update per
-    # TBPTT minibatch (async dispatch pipelines the host loop away);
-    # "scan" compiles the whole epoch as one lax.scan-of-updates
-    # program. Measured on v5e (BENCH r04/r05): per_step is ~10% FASTER
-    # than scan on async-dispatch hosts — the scan carries the full
-    # param/optimizer state through the loop, which costs XLA copies —
-    # so "auto" resolves to per_step. "scan" remains for hosts whose
-    # dispatch is synchronous (one dispatch per epoch total).
+    # epoch dispatch mode: "scan" compiles the whole epoch as ONE
+    # lax.scan-of-updates program (one dispatch per epoch); "per_step"
+    # dispatches one jitted update per TBPTT minibatch. Measured on
+    # v5e (BENCH r04/r05): scan's weakness is mild and constant (the
+    # scanned carry of the full param/opt state costs ~2-10% in XLA
+    # copies), while per_step's per-dispatch overhead through the
+    # remote tunnel ranges from free (plain-XLA f32) to CATASTROPHIC
+    # for Pallas-containing programs (33 vs 8.7 ms/step bf16 TBPTT) —
+    # so "auto" resolves to scan, the safe measured default. Both
+    # modes are recorded every round in the bench
+    # (train_lstm_step_ms_f32 vs train_lstm_step_ms_f32_per_step).
     dispatch: str = "auto"
 
 
 def _resolve_dispatch(config) -> str:
     mode = getattr(config, "dispatch", "auto")
     if mode == "auto":
-        return "per_step"
+        return "scan"
     if mode not in ("per_step", "scan"):
         raise ValueError(f"dispatch must be auto|per_step|scan, got {mode}")
     return mode
