@@ -402,17 +402,30 @@ class PallasCollapsedViterbi:
                 bands, axis=0)
 
         aidx = jax.lax.broadcasted_iota(jnp.int32, (PS, L), 0)
+        # packed (left-context, entry-time) key for the single-pass
+        # first-max export reduction: key = a*4096 + (tt+1); min over
+        # rows where out == mx gives the lowest-a winner AND its entry
+        # time in ONE masked min-reduction (tt+1 < 4096 cannot cross an
+        # `a` boundary, so min order == (a, ·) lexicographic)
+        pack_base = aidx * 4096 + 1
 
-        def frame_one(v, i, k_glob):
+        def entry_all(i):
+            """All NU utterances' entry scores in ONE one-hot matmul
+            (doubles the MXU rows at the same dispatch latency)."""
+            rows = [ea_ref[:] * pc_ref[pl.ds(v, 1)] for v in range(NU)]
+            masked = (rows[0] if NU == 1
+                      else jnp.concatenate(rows, axis=0))   # (NU*PS, L)
+            qq = _dot(masked, fb_ref[:])                    # (NU*PS, Pp)
+            qs = []
+            for v in range(NU):
+                q = qq[v * PS:(v + 1) * PS] + lmq_ref[:]
+                if self._beam is not None:
+                    q = jnp.where(q >= thr_ref[v, 0], q, NEG_INF)
+                qs.append(q + pip)
+            return qs
+
+        def frame_one(v, i, k_glob, q):
             vt = vals_ref[v, i]                          # (3*K8, Pp)
-
-            # entry: q[a, bp] = pc[lane of biphone (a, real(bp))]
-            prow = pc_ref[pl.ds(v, 1)]                   # (1, L)
-            q = _dot(ea_ref[:] * prow, fb_ref[:])        # (PS, Pp) exact
-            q = q + lmq_ref[:]
-            if self._beam is not None:
-                q = jnp.where(q >= thr_ref[v, 0], q, NEG_INF)
-            q = q + pip
             p_in = pltpu.repeat(q, cap, axis=1)          # (PS, L)
 
             old0, old1, old2 = pp_ref[v, 0], pp_ref[v, 1], pp_ref[v, 2]
@@ -442,11 +455,12 @@ class PallasCollapsedViterbi:
             # export: first-max over left-context sublanes (C++ strict-<)
             out_score = pp2 + tps_ref[5]                 # (PS, L)
             mx = jnp.max(out_score, axis=0, keepdims=True)
-            arg = jnp.min(jnp.where(out_score == mx, aidx, P),
-                          axis=0, keepdims=True)         # (1, L) = a*
-            bt = jnp.sum(jnp.where(aidx == arg, tt2, 0),
-                         axis=0, keepdims=True)
-            packed_ref[v, pl.ds(i, 1), :] = arg * TIME_PACK + bt + 1
+            key = jnp.min(jnp.where(out_score == mx, pack_base + tt2,
+                                    jnp.int32(1 << 30)),
+                          axis=0, keepdims=True)         # (1, L)
+            # key = a*4096 + tt + 1 -> a* * TIME_PACK + tt + 1
+            packed_ref[v, pl.ds(i, 1), :] = (
+                (key >> 12) * TIME_PACK + (key & 4095))
             pnew = mx                                    # raw max, NO lm
             if self._beam is not None:
                 rowm = jnp.max(pnew + lmmax_ref[:])
@@ -460,8 +474,9 @@ class PallasCollapsedViterbi:
 
         def frame(i):
             k_glob = ch * chunk + i
+            qs = entry_all(i)
             for v in range(NU):
-                frame_one(v, i, k_glob)
+                frame_one(v, i, k_glob, qs[v])
 
         max_len = lens_ref[u * NU]
         for v in range(1, NU):
