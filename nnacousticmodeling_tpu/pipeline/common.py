@@ -45,16 +45,18 @@ def add_network_args(parser: argparse.ArgumentParser) -> None:
                         help="explicit output class count (overrides the "
                              "--tri 1909/39 convention, e.g. for synthetic "
                              "corpora)")
-    parser.add_argument("--scan-impl", default="xla",
-                        choices=("xla", "pallas"),
+    parser.add_argument("--scan-impl", default="auto",
+                        choices=("auto", "xla", "pallas"),
                         help="recurrent sequence runner: 'xla' (lax.scan, "
                              "bit-matches the reference recipe) or 'pallas' "
                              "(weight-resident VMEM kernels, bf16 matmul "
                              "operands — fastest TPU path for BOTH "
-                             "inference and training: LSTM/GRU/MGRU train "
-                             "through custom-VJP reverse-time kernels; "
-                             "cells without a kernel fall back to "
-                             "lax.scan)")
+                             "inference and training: LSTM/peephole/GRU/"
+                             "MGRU train through custom-VJP reverse-time "
+                             "kernels; cells without a kernel fall back to "
+                             "lax.scan). 'auto' = pallas on TPU, xla "
+                             "elsewhere (interpret-mode kernels off-TPU "
+                             "would be slow)")
 
 
 def add_data_args(parser: argparse.ArgumentParser) -> None:
@@ -82,7 +84,10 @@ def build_network(args, num_classes: int):
                       args.activation, args.tdnn_ksize,
                       args.dropout if isinstance(args.dropout, list)
                       else [args.dropout])
-    impl = getattr(args, "scan_impl", "xla")
+    impl = getattr(args, "scan_impl", "auto")
+    if impl == "auto":
+        import jax
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
     if impl != "xla" and getattr(net, "is_recurrent", False):
         net = dataclasses.replace(net, scan_impl=impl)
     return net
