@@ -142,6 +142,46 @@ def test_ivector_adaptation_pipeline(tmp_path):
     assert adapted <= plain + 1.0, (adapted, plain)
 
 
+def test_evaluate_lm_from_mlf_both_decoders(corpus_root, tmp_path):
+    """evaluate --lm-from-mlf: the MLF-estimated bigram LM decodes
+    identically through the in-graph decoder (image object handed over
+    in memory) and the native CLI (image written to a TemporaryDirectory
+    that must not leak — r4 advisor finding)."""
+    import glob
+    import tempfile
+    from nnacousticmodeling_tpu.decoder.native import build_native
+    out = str(tmp_path / "ff_model")
+    train_main(["--num-classes", "17", "--out", out, "-n", "ff", "-l", "1",
+                "-u", "32",
+                "--data-dir", f"{corpus_root}/data",
+                "--offset-dir", f"{corpus_root}/data",
+                "--target-dir", f"{corpus_root}/data",
+                "--epoch", "2", "-o", "adam", "-b", "256",
+                "--early-stopping", "false", "--seed", "0"])
+    common = ["--num-classes", "17", "-n", "ff", "-l", "1", "-u", "32",
+              "--model", f"{out}/model",
+              "--data-dir", f"{corpus_root}/data",
+              "--offset-dir", f"{corpus_root}/data",
+              "--utt-list-dir", f"{corpus_root}/data",
+              "--recog-dir", f"{corpus_root}/recog",
+              "--PIP", "5", "--test-or-dev", "test",
+              "--lm-from-mlf", f"{corpus_root}/recog/dev_ref.mlf"]
+    per_lm = evaluate_main(common)
+    per_plain = evaluate_main(common[:-2])
+    assert per_lm < 60.0
+    # a (synthetic) LM genuinely changes the decode result in general;
+    # at minimum the path must run and score sanely
+    assert isinstance(per_plain, float)
+    if build_native():
+        before = set(glob.glob(str(Path(tempfile.gettempdir(),
+                                        "nnam_lm_*"))))
+        per_nat = evaluate_main(common + ["--decoder", "native"])
+        after = set(glob.glob(str(Path(tempfile.gettempdir(),
+                                       "nnam_lm_*"))))
+        assert per_nat == pytest.approx(per_lm, abs=1e-9)
+        assert after == before, "leaked nnam_lm_ temp dirs"
+
+
 def test_native_decoder_backend_matches_tpu(corpus_root, tmp_path):
     """evaluate --decoder native must produce the same PER as the
     in-graph decoder."""
