@@ -251,6 +251,38 @@ def test_collapsed_beam_matches_xla():
             assert ra.segments == rb.segments
 
 
+@pytest.mark.slow
+@pytest.mark.parametrize("num_phones,seed", [(3, 11), (5, 12), (6, 13)])
+def test_collapsed_fuzz_random_images(num_phones, seed):
+    """Structure fuzz for the class-collapse machinery: random tied
+    images at several phone counts exercise the joint-class detection,
+    pseudo-center padding, end-class-first reordering and the
+    real-biphone backtrace; packed rows and segments must stay
+    bit-equal to the XLA scan path."""
+    rng = np.random.default_rng(seed)
+    # fewer distinct pdfs than (P, c)-cells forces genuine collapse
+    img = make_synthetic_image(num_phones=num_phones,
+                               num_states=3 * num_phones + 2, seed=seed,
+                               pdf_tied_transitions=True)
+    xla = ViterbiDecoder(img, pip=3.0, lmw=1.2, backend="xla")
+    col = ViterbiDecoder(img, pip=3.0, lmw=1.2, backend="collapsed")
+    lp, lens = _rand_posteriors(rng, 3, 14, img.num_states)
+    import jax
+    import jax.numpy as jnp
+    want_packed, want_end = jax.vmap(xla._forward_scan)(jnp.asarray(lp))
+    got_packed, got_end = col._collapsed_fwd.forward(
+        jnp.asarray(lp), jnp.asarray(lens))
+    got_full = col._collapsed_fwd.packed_to_full(np.asarray(got_packed))
+    for u, l in enumerate(lens):
+        np.testing.assert_array_equal(got_full[u, :l],
+                                      np.asarray(want_packed)[u, :l])
+        np.testing.assert_array_equal(np.asarray(got_end)[u, :l],
+                                      np.asarray(want_end)[u, :l])
+    for ra, rb in zip(xla.decode_batch(lp, lens),
+                      col.decode_batch(lp, lens)):
+        assert ra.segments == rb.segments
+
+
 def test_collapsed_rejects_untied_transitions():
     from nnacousticmodeling_tpu.decoder.viterbi_collapsed import (
         PallasCollapsedViterbi)
