@@ -156,6 +156,31 @@ class ViterbiDecoder:
             end_map=self._pallas_fwd.end_lane,
             bi_map=self._pallas_fwd.bi_in_lane)
 
+    def _collapsed_for_t(self, t: int):
+        """Collapsed kernel instance whose pack factor covers ``t``
+        frames (the default instance handles t < TIME_PACK - 1;
+        longer utterances get a per-pack cached instance instead of
+        the cube kernels' XLA fallback — long-form audio decodes at
+        kernel speed)."""
+        if t < TIME_PACK - 1:
+            return self._collapsed_fwd
+        pack = self._time_pack_for(t)
+        cache = getattr(self, "_collapsed_long", None)
+        if cache is None:
+            cache = self._collapsed_long = {}
+        if pack not in cache:
+            from .viterbi_collapsed import PallasCollapsedViterbi
+            k = self._collapsed_fwd
+            # may run inside an outer jit trace (decode_arrays_fn):
+            # the instance's device tables must be concrete constants,
+            # not trace-captured tracers
+            with jax.ensure_compile_time_eval():
+                cache[pack] = PallasCollapsedViterbi(
+                    self.image, self._cube_order, pip=self.pip,
+                    lmw=self.lmw, beam=self.beam, interpret=k.interpret,
+                    pack=pack)
+        return cache[pack]
+
     def _collapsed_backtrace(self, packed, end_scores, length):
         """Backtrace over the collapsed kernel's per-lane ``a* *
         TIME_PACK + t_entry + 1`` backpointers.  The collapsed lane
@@ -202,8 +227,8 @@ class ViterbiDecoder:
     def _pallas_decode_traced(self, lp, lengths):
         """Jit-composable Pallas forward + backtrace (one program)."""
         if self._collapsed_fwd is not None:
-            packed, end_scores = self._collapsed_fwd.forward_traced(
-                lp, lengths)
+            ck = self._collapsed_for_t(lp.shape[1])
+            packed, end_scores = ck.forward_traced(lp, lengths)
             return jax.vmap(self._collapsed_backtrace)(packed, end_scores,
                                                        lengths)
         packed, end_scores = self._pallas_fwd.forward_traced(lp, lengths)
@@ -514,11 +539,13 @@ class ViterbiDecoder:
         return self._to_results(np.asarray(segs), np.asarray(count))[0]
 
     def _decode_arrays(self, lp, lengths):
-        # the Pallas kernels pack with the fixed minimum factor; longer
-        # utterances take the XLA path with a wider dynamic pack
-        if ((self._pallas_fwd is not None
-             or self._collapsed_fwd is not None)
-                and lp.shape[1] < TIME_PACK - 1):
+        # the collapsed kernel covers ANY length via per-pack cached
+        # instances (left-context-only packing); the cube kernel packs
+        # whole triphone ids at the fixed minimum factor, so long
+        # utterances without a collapsed kernel take the XLA path
+        if (self._collapsed_fwd is not None
+                or (self._pallas_fwd is not None
+                    and lp.shape[1] < TIME_PACK - 1)):
             # forward + backtrace as ONE program: one dispatch, and the
             # backtrace launches without a host round-trip
             if self._pallas_decode_jit is None:
@@ -535,9 +562,9 @@ class ViterbiDecoder:
         posterior round-trip on the host side."""
         def fn(lp, lengths):
             lengths = jnp.asarray(lengths, jnp.int32)
-            if ((self._pallas_fwd is not None
-                 or self._collapsed_fwd is not None)
-                    and lp.shape[1] < TIME_PACK - 1):
+            if (self._collapsed_fwd is not None
+                    or (self._pallas_fwd is not None
+                        and lp.shape[1] < TIME_PACK - 1)):
                 return self._pallas_decode_traced(lp, lengths)
             return jax.vmap(self._decode_device)(lp, lengths)
         return fn

@@ -95,15 +95,21 @@ class PallasCollapsedViterbi:
 
     def __init__(self, image, cube_order: str, pip: float, lmw: float,
                  chunk: int = 16, n_utt: int = 2, beam=None,
-                 interpret: bool = False, cap: int = 8):
+                 interpret: bool = False, cap: int = 8,
+                 pack: int = TIME_PACK):
         # chunk=16 n_utt=2 measured best on v5e (6059 audio-s/s vs 5925
         # at chunk=8, 5300 at chunk=32)
         P = image.num_phones
         B = image.num_biphones
         if image.num_triphones != P ** 3 or B != P * P:
             raise UnsupportedImage("not a dense cube image")
-        if image.num_triphones * TIME_PACK >= 2 ** 31:
-            raise UnsupportedImage("triphone count too large to pack")
+        # collapsed rows pack only the LEFT CONTEXT (not the triphone),
+        # so the packing ceiling is P * pack — long-form utterances get
+        # a per-pack kernel instance (ViterbiDecoder._decode_arrays)
+        # instead of the cube kernels' XLA fallback
+        self.pack = int(pack)
+        if P * self.pack >= 2 ** 31:
+            raise UnsupportedImage("pack factor too large")
         self.P, self.B, self.S = P, B, image.num_states
         self.PS = _ceil(P, 8)
         PS = self.PS
@@ -326,15 +332,15 @@ class PallasCollapsedViterbi:
         (..., B) ``tri * TIME_PACK + t_entry + 1`` layout (tests)."""
         P = self.P
         v = np.asarray(packed_c)[..., self._bi2lane_np]      # (..., B)
-        a = v // TIME_PACK
-        rest = v % TIME_PACK
+        a = v // self.pack
+        rest = v % self.pack
         b = np.arange(self.B) // P
         c = np.arange(self.B) % P
         if self.cube_order == "bac":
             tri = b * P * P + a * P + c
         else:
             tri = a * P * P + b * P + c
-        return (tri * TIME_PACK + rest).astype(np.int32)
+        return (tri * self.pack + rest).astype(np.int32)
 
     # ------------------------------------------------------------------
     def _kernel(self, lens_ref, vals_ref, lo_ref, hi_ref, tps_ref, ea_ref,
@@ -403,11 +409,12 @@ class PallasCollapsedViterbi:
 
         aidx = jax.lax.broadcasted_iota(jnp.int32, (PS, L), 0)
         # packed (left-context, entry-time) key for the single-pass
-        # first-max export reduction: key = a*4096 + (tt+1); min over
-        # rows where out == mx gives the lowest-a winner AND its entry
-        # time in ONE masked min-reduction (tt+1 < 4096 cannot cross an
-        # `a` boundary, so min order == (a, ·) lexicographic)
-        pack_base = aidx * 4096 + 1
+        # first-max export reduction: key = a*pack + (tt+1) IS the
+        # packed backpointer; min over rows where out == mx gives the
+        # lowest-a winner AND its entry time in ONE masked
+        # min-reduction (tt+1 <= T < pack cannot cross an `a`
+        # boundary, so min order == (a, ·) lexicographic)
+        pack_base = aidx * self.pack + 1
 
         def entry_all(i):
             """All NU utterances' entry scores in ONE one-hot matmul
@@ -456,11 +463,9 @@ class PallasCollapsedViterbi:
             out_score = pp2 + tps_ref[5]                 # (PS, L)
             mx = jnp.max(out_score, axis=0, keepdims=True)
             key = jnp.min(jnp.where(out_score == mx, pack_base + tt2,
-                                    jnp.int32(1 << 30)),
+                                    jnp.int32(2 ** 31 - 1)),
                           axis=0, keepdims=True)         # (1, L)
-            # key = a*4096 + tt + 1 -> a* * TIME_PACK + tt + 1
-            packed_ref[v, pl.ds(i, 1), :] = (
-                (key >> 12) * TIME_PACK + (key & 4095))
+            packed_ref[v, pl.ds(i, 1), :] = key
             pnew = mx                                    # raw max, NO lm
             if self._beam is not None:
                 rowm = jnp.max(pnew + lmmax_ref[:])

@@ -283,6 +283,36 @@ def test_collapsed_fuzz_random_images(num_phones, seed):
         assert ra.segments == rb.segments
 
 
+@pytest.mark.slow
+def test_collapsed_long_utterance_dynamic_pack():
+    """T > 2046: the collapsed kernel keeps decoding via a per-pack
+    cached instance (left-context-only packing lifts the cube kernels'
+    triphone*2048 ceiling) — packed rows bit-equal to the XLA path at
+    the SAME dynamic pack, segments identical."""
+    rng = np.random.default_rng(31)
+    img = make_synthetic_image(num_phones=4, num_states=14, seed=31,
+                               pdf_tied_transitions=True)
+    T = 2100
+    lp = np.log(rng.dirichlet(np.ones(img.num_states), size=(1, T))
+                ).astype(np.float32)
+    lens = np.array([T], np.int32)
+    xla = ViterbiDecoder(img, pip=5.0, lmw=1.0, backend="xla")
+    col = ViterbiDecoder(img, pip=5.0, lmw=1.0, backend="collapsed")
+    import jax
+    import jax.numpy as jnp
+    want_packed, want_end = jax.vmap(xla._forward_scan)(jnp.asarray(lp))
+    ck = col._collapsed_for_t(T)
+    assert ck.pack == xla._time_pack_for(T) == 4096
+    got_packed, got_end = ck.forward(jnp.asarray(lp), jnp.asarray(lens))
+    np.testing.assert_array_equal(ck.packed_to_full(np.asarray(got_packed)),
+                                  np.asarray(want_packed))
+    np.testing.assert_array_equal(np.asarray(got_end),
+                                  np.asarray(want_end))
+    a = xla.decode_batch(lp, lens)
+    b = col.decode_batch(lp, lens)
+    assert a[0].segments == b[0].segments
+
+
 def test_collapsed_rejects_untied_transitions():
     from nnacousticmodeling_tpu.decoder.viterbi_collapsed import (
         PallasCollapsedViterbi)
