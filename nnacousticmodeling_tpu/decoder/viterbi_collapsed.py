@@ -329,7 +329,8 @@ class PallasCollapsedViterbi:
     # ------------------------------------------------------------------
     def packed_to_full(self, packed_c: np.ndarray) -> np.ndarray:
         """Expand (..., L) collapsed packed rows to the XLA path's
-        (..., B) ``tri * TIME_PACK + t_entry + 1`` layout (tests)."""
+        (..., B) ``tri * pack + t_entry + 1`` layout (tests; requires
+        the XLA path to use the same pack factor)."""
         P = self.P
         v = np.asarray(packed_c)[..., self._bi2lane_np]      # (..., B)
         a = v // self.pack

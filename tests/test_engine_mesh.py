@@ -36,9 +36,9 @@ def _make_data(rng, n=256, dim=12, classes=10):
     return x, y, offsets
 
 
-def _config(stages, mesh=None, model_axis=None):
+def _config(stages, mesh=None, model_axis=None, dispatch="auto"):
     return TrainConfig(stages=stages, bprop_len=5, seed=0, log=None,
-                       mesh=mesh, model_axis=model_axis)
+                       mesh=mesh, model_axis=model_axis, dispatch=dispatch)
 
 
 def _assert_same_result(res_a, res_b, rtol=2e-4, atol=2e-5):
@@ -81,6 +81,24 @@ def test_rnn_data_model_parallel_matches_unsharded(rng):
     assert cell["wh"].sharding.spec == P(None, "model")
     assert cell["b"].sharding.spec == P("model")
     assert got.params["out"]["w"].sharding.spec == P(None, "model")
+
+
+def test_mesh_per_step_dispatch_matches_unsharded(rng):
+    """per_step epoch dispatch under a (data, model) mesh: the jitted
+    per-minibatch update must respect the shardings and match the
+    unsharded trajectory (the scan-mode mesh equality is covered
+    above)."""
+    x, y, offsets = _make_data(rng, n=160, dim=8, classes=8)
+    net = get_network("lstm", 1, [16], 8)
+    stages = [TrainStage(epoch=1, optimizer="sgd", batch_size=4,
+                         lr=1e-2, early_stopping=False)]
+    ref = train_network(net, x, y, _config(stages), offsets=offsets)
+    mesh = make_mesh({"data": 2, "model": 2})
+    got = train_network(net, x, y,
+                        _config(stages, mesh=mesh, model_axis="model",
+                                dispatch="per_step"),
+                        offsets=offsets)
+    _assert_same_result(ref, got, rtol=5e-4, atol=5e-5)
 
 
 def test_gru_model_parallel_matches_unsharded(rng):
