@@ -142,7 +142,7 @@ def bench_training(rng, peaks):
     frames/s, step time, and MFU (model FLOPs / wall-clock vs peak,
     counting backward as 2x forward) for (a) LSTM 4x1024 TBPTT bproplen
     20 batch 128 and (b) FF 8x2048 batch 1024; plus both engine epoch
-    dispatch modes (per_step default vs scan-of-updates) so the
+    dispatch modes (scan-of-updates default vs per_step) so the
     default's advantage stays auditable per round.
     """
     from nnacousticmodeling_tpu.models import get_network

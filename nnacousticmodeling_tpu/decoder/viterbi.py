@@ -156,15 +156,38 @@ class ViterbiDecoder:
             end_map=self._pallas_fwd.end_lane,
             bi_map=self._pallas_fwd.bi_in_lane)
 
+    def _validate_frames(self, t: int) -> None:
+        """Frame-count ceiling for the backend that will decode: the
+        collapsed kernel packs only the left context (P * pack bound);
+        the cube/XLA paths pack whole triphone ids."""
+        if self._collapsed_fwd is not None:
+            self._collapsed_pack_for(t)
+        else:
+            self._time_pack_for(t)
+
+    def _collapsed_pack_for(self, t: int) -> int:
+        """Pack factor for a T-frame collapsed decode. The collapsed
+        rows pack only the LEFT CONTEXT, so the ceiling is P * pack —
+        far above the XLA/cube paths' num_triphones * pack bound (a
+        TIMIT-scale image decodes ~45M frames instead of ~19k)."""
+        pack = TIME_PACK
+        while pack <= t + 1:
+            pack *= 2
+        if self.image.num_phones * pack >= 2 ** 31:
+            raise ValueError(
+                f"utterance of {t} frames exceeds the collapsed "
+                f"packed-backpointer ceiling; split the utterance")
+        return pack
+
     def _collapsed_for_t(self, t: int):
         """Collapsed kernel instance whose pack factor covers ``t``
-        frames (the default instance handles t < TIME_PACK - 1;
+        frames (the default instance handles t < its own pack - 1;
         longer utterances get a per-pack cached instance instead of
         the cube kernels' XLA fallback — long-form audio decodes at
         kernel speed)."""
-        if t < TIME_PACK - 1:
+        if t < self._collapsed_fwd.pack - 1:
             return self._collapsed_fwd
-        pack = self._time_pack_for(t)
+        pack = self._collapsed_pack_for(t)
         cache = getattr(self, "_collapsed_long", None)
         if cache is None:
             cache = self._collapsed_long = {}
@@ -191,7 +214,9 @@ class ViterbiDecoder:
         ck = self._collapsed_fwd
         P = self.image.num_phones
         T = packed.shape[0]
-        pack = self._time_pack_for(T)
+        # the pack factor of the instance that PRODUCED these rows —
+        # never recomputed independently (single source of truth)
+        pack = self._collapsed_for_t(T).pack
         bi2lane = ck.bi2lane
 
         last = end_scores[length - 1]
@@ -532,7 +557,7 @@ class ViterbiDecoder:
             raise ValueError(
                 f"posterior columns {log_probs.shape[1]} != image states "
                 f"{self.image.num_states}")
-        self._time_pack_for(log_probs.shape[0])   # validates the ceiling
+        self._validate_frames(log_probs.shape[0])
         segs, count = self._decode_arrays(
             jnp.asarray(log_probs)[None],
             jnp.asarray([log_probs.shape[0]], dtype=jnp.int32))
@@ -580,7 +605,7 @@ class ViterbiDecoder:
         """
         if log_probs.shape[2] != self.image.num_states:
             raise ValueError("posterior/state mismatch")
-        self._time_pack_for(log_probs.shape[1])   # validates the ceiling
+        self._validate_frames(log_probs.shape[1])
         segs, counts = self._decode_arrays(
             jnp.asarray(log_probs),
             jnp.asarray(lengths, dtype=jnp.int32))

@@ -365,19 +365,27 @@ class PallasCollapsedViterbi:
             for v in range(NU):        # SMEM only takes scalar stores
                 thr_ref[v, 0] = jnp.float32(-3.0e38)
 
-        rep_n = L // Pp if Pp < 128 else 1
+        # gather-source strategy per 128-lane chunk: when Pp % 128 == 0
+        # every chunk lies inside one class-slot block, so the source is
+        # a plain column slice of the (8, Pp) value rows; otherwise the
+        # rows are lane-tiled once to full width (source[:, j] =
+        # rows[:, j % Pp] matches lane = cc*Pp + b' for ANY Pp)
+        sliced_src = Pp % 128 == 0
 
         def obs_plane(vt, s):
             """(PS, L) observation scores for state s: grouped hardware
-            sublane gathers straight off the compact (K8, Pp) value
-            rows — per-(band, chunk) adaptive group counts, no
-            materialized lane-tiling."""
+            sublane gathers off the compact (K8, Pp) value rows —
+            per-(band, chunk) adaptive group counts."""
+
+            cache = {}
 
             def src(g):
-                rows = vt[s * K8 + 8 * g:s * K8 + 8 * g + 8, :]  # (8, Pp)
-                if Pp < 128:
-                    return pltpu.repeat(rows, rep_n, axis=1)
-                return rows
+                if g not in cache:
+                    rows = vt[s * K8 + 8 * g:
+                              s * K8 + 8 * g + 8, :]         # (8, Pp)
+                    cache[g] = (rows if sliced_src
+                                else pltpu.repeat(rows, cap, axis=1))
+                return cache[g]
 
             bands = []
             for sc in range(PS // 8):
@@ -385,22 +393,21 @@ class PallasCollapsedViterbi:
                 chunks = []
                 for ck in range(n_chunk):
                     c0 = ck * cw
+
+                    def chunk_src(g):
+                        if sliced_src:
+                            off = c0 % Pp
+                            return src(g)[:, off:off + cw]
+                        return src(g)[:, c0:c0 + cw]
+
                     lo_c = lo_ref[s, r0:r0 + 8, c0:c0 + cw]
-                    if Pp >= 128:
-                        off = c0 % Pp
-                        s0 = src(0)[:, off:off + cw]
-                    else:
-                        s0 = src(0)
-                    part = jnp.take_along_axis(s0, lo_c, axis=0)
+                    part = jnp.take_along_axis(chunk_src(0), lo_c, axis=0)
                     g_max = self._g_sbc[s][sc][ck]
                     if g_max > 1:
                         hi_c = hi_ref[s, r0:r0 + 8, c0:c0 + cw]
                         for g in range(1, g_max):
-                            if Pp >= 128:
-                                sg = src(g)[:, off:off + cw]
-                            else:
-                                sg = src(g)
-                            gath = jnp.take_along_axis(sg, lo_c, axis=0)
+                            gath = jnp.take_along_axis(chunk_src(g), lo_c,
+                                                       axis=0)
                             part = jnp.where(hi_c == g, gath, part)
                     chunks.append(part)
                 bands.append(chunks[0] if len(chunks) == 1

@@ -468,6 +468,22 @@ def train_network(
     return TrainResult(params=params, history=history)
 
 
+
+def _per_step_epoch(step_fn, carry, idx_all, key, xd, yd):
+    """Shared per-minibatch dispatch loop (FF and RNN stages): same
+    rng split sequence and update math as the scanned epoch program.
+    ``carry`` is (params, opt_state) or (params, opt_state, state)."""
+    idx_dev = jnp.asarray(idx_all)
+    losses, accs = [], []
+    for s in range(idx_dev.shape[0]):
+        key, sk = jax.random.split(key)
+        *carry, loss, acc = step_fn(*carry, idx_dev[s], sk, xd, yd)
+        losses.append(loss)
+        accs.append(acc)
+    return (tuple(carry), float(jnp.stack(losses).mean()),
+            float(jnp.stack(accs).mean()))
+
+
 # ---------------------------------------------------------------------------
 # feed-forward stage
 # ---------------------------------------------------------------------------
@@ -528,19 +544,9 @@ def _make_ff_stage(net, opt, xd, yd, config, bs, val, apply_fn,
     def run_epoch(params, opt_state, key, rng_np):
         idx_all = _epoch_indices(rng_np)
         if _resolve_dispatch(config) == "per_step":
-            # async dispatch pipelines the host loop; identical math
-            # and rng split sequence to the scan program
-            idx_dev = jnp.asarray(idx_all)
-            losses, accs = [], []
-            for s in range(steps):
-                key, sk = jax.random.split(key)
-                params, opt_state, loss, acc = step_fn(
-                    params, opt_state, idx_dev[s], sk, xd, yd)
-                losses.append(loss)
-                accs.append(acc)
-            return (params, opt_state,
-                    float(jnp.stack(losses).mean()),
-                    float(jnp.stack(accs).mean()))
+            (params, opt_state), loss, acc = _per_step_epoch(
+                step_fn, (params, opt_state), idx_all, key, xd, yd)
+            return params, opt_state, loss, acc
         params, opt_state, loss, acc = epoch_fn(
             params, opt_state, jnp.asarray(idx_all), key, xd, yd)
         return params, opt_state, float(loss), float(acc)
@@ -656,19 +662,9 @@ def _make_rnn_stage(net, opt, xd, yd, offsets, config, bs, val,
                                        ).T.reshape(steps, L, bs
                                                    ).transpose(0, 2, 1)
         if _resolve_dispatch(config) == "per_step":
-            # async dispatch pipelines the host loop; identical math
-            # and rng split sequence to the scan program
-            idx_dev = jnp.asarray(idx_all)
-            losses, accs = [], []
-            for s in range(steps):
-                key, sk = jax.random.split(key)
-                params, opt_state, state, loss, acc = step_fn(
-                    params, opt_state, state, idx_dev[s], sk, xd, yd)
-                losses.append(loss)
-                accs.append(acc)
-            return (params, opt_state, state,
-                    float(jnp.stack(losses).mean()),
-                    float(jnp.stack(accs).mean()))
+            (params, opt_state, state), loss, acc = _per_step_epoch(
+                step_fn, (params, opt_state, state), idx_all, key, xd, yd)
+            return params, opt_state, state, loss, acc
         params, opt_state, state, loss, acc = epoch_fn(
             params, opt_state, state, jnp.asarray(idx_all), key, xd, yd)
         return params, opt_state, state, float(loss), float(acc)

@@ -283,6 +283,34 @@ def test_collapsed_fuzz_random_images(num_phones, seed):
         assert ra.segments == rb.segments
 
 
+@pytest.mark.parametrize("num_phones", [
+    9, pytest.param(33, marks=pytest.mark.slow)])
+def test_collapsed_midsize_images(num_phones):
+    """Pp between the tiny (divides 128) and TIMIT (multiple of 128)
+    regimes — P=9 gives Pp=32/L=256, P=33 gives Pp=176/L=1408. r5
+    review finding: the per-chunk gather source selection crashed for
+    exactly these shapes; parity must hold instead."""
+    rng = np.random.default_rng(num_phones)
+    img = make_synthetic_image(num_phones=num_phones,
+                               num_states=3 * num_phones + 2,
+                               seed=num_phones, pdf_tied_transitions=True)
+    xla = ViterbiDecoder(img, pip=5.0, lmw=1.0, backend="xla")
+    col = ViterbiDecoder(img, pip=5.0, lmw=1.0, backend="collapsed")
+    assert col._collapsed_fwd.Pp % 128 != 0   # the regime under test
+    lp, lens = _rand_posteriors(rng, 2, 8, img.num_states)
+    import jax
+    import jax.numpy as jnp
+    want_packed, want_end = jax.vmap(xla._forward_scan)(jnp.asarray(lp))
+    got_packed, got_end = col._collapsed_fwd.forward(
+        jnp.asarray(lp), jnp.asarray(lens))
+    got_full = col._collapsed_fwd.packed_to_full(np.asarray(got_packed))
+    for u, l in enumerate(lens):
+        np.testing.assert_array_equal(got_full[u, :l],
+                                      np.asarray(want_packed)[u, :l])
+        np.testing.assert_array_equal(np.asarray(got_end)[u, :l],
+                                      np.asarray(want_end)[u, :l])
+
+
 @pytest.mark.slow
 def test_collapsed_long_utterance_dynamic_pack():
     """T > 2046: the collapsed kernel keeps decoding via a per-pack
