@@ -88,6 +88,15 @@ class TrainConfig:
     # modes are recorded every round in the bench
     # (train_lstm_step_ms_f32 vs train_lstm_step_ms_f32_per_step).
     dispatch: str = "auto"
+    # async metrics: when True, per-epoch train loss/accuracy stay
+    # DEVICE scalars until training ends (one blocking fetch at the
+    # end) — the accelerator never stalls on a per-epoch metric fetch.
+    # On a remote-tunnel host the per-epoch fetch costs a full round
+    # trip (~30 ms here = ~1.25 ms/step at 24 steps/epoch), which is
+    # pure measurement/serving overhead. Per-epoch log lines and
+    # early-stopping still force fetches where enabled; history
+    # elapsed_time then records DISPATCH time, not execution.
+    defer_metrics: bool = False
 
 
 def _resolve_dispatch(config) -> str:
@@ -401,15 +410,20 @@ def train_network(
                 params, opt_state, tr_loss, tr_acc = run_epoch(
                     params, opt_state, ek, rng_np)
             entry = {"stage": si, "epoch": epoch + 1,
-                     "main/loss": float(tr_loss), "main/accuracy": float(tr_acc),
+                     "main/loss": tr_loss, "main/accuracy": tr_acc,
                      "elapsed_time": time.time() - t0}
             if use_val:
                 val_loss, val_acc = evaluate(params)
                 entry["validation/main/loss"] = float(val_loss)
                 entry["validation/main/accuracy"] = float(val_acc)
             history.append(entry)
-            log("  " + "  ".join(f"{k}={v:.4f}" if isinstance(v, float) else
-                                 f"{k}={v}" for k, v in entry.items()))
+            if config.log is not None:
+                # formatting deferred metrics forces their fetch — a
+                # fully async run needs log=None
+                log("  " + "  ".join(
+                    f"{k}={float(v):.4f}"
+                    if not isinstance(v, (bool, int, str)) else f"{k}={v}"
+                    for k, v in entry.items()))
 
             stop = False
             if use_val:
@@ -465,11 +479,26 @@ def train_network(
         # early-stopping stages keep the last model (train.py:378-384)
         del opt_state
 
+    _finalize_history(history)
     return TrainResult(params=params, history=history)
 
 
 
-def _per_step_epoch(step_fn, carry, idx_all, key, xd, yd):
+def _metric_conv(config):
+    """float (blocking fetch) or identity (deferred device scalar)."""
+    return (lambda v: v) if getattr(config, "defer_metrics", False) else float
+
+
+def _finalize_history(history):
+    """Force any deferred device-scalar metrics to host floats (the
+    single blocking fetch of a defer_metrics run)."""
+    for h in history:
+        for k, v in h.items():
+            if not isinstance(v, (bool, int, float, str)):
+                h[k] = float(v)
+
+
+def _per_step_epoch(step_fn, carry, idx_all, key, xd, yd, conv=float):
     """Shared per-minibatch dispatch loop (FF and RNN stages): same
     rng split sequence and update math as the scanned epoch program.
     ``carry`` is (params, opt_state) or (params, opt_state, state)."""
@@ -480,8 +509,8 @@ def _per_step_epoch(step_fn, carry, idx_all, key, xd, yd):
         *carry, loss, acc = step_fn(*carry, idx_dev[s], sk, xd, yd)
         losses.append(loss)
         accs.append(acc)
-    return (tuple(carry), float(jnp.stack(losses).mean()),
-            float(jnp.stack(accs).mean()))
+    return (tuple(carry), conv(jnp.stack(losses).mean()),
+            conv(jnp.stack(accs).mean()))
 
 
 # ---------------------------------------------------------------------------
@@ -543,13 +572,15 @@ def _make_ff_stage(net, opt, xd, yd, config, bs, val, apply_fn,
 
     def run_epoch(params, opt_state, key, rng_np):
         idx_all = _epoch_indices(rng_np)
+        conv = _metric_conv(config)
         if _resolve_dispatch(config) == "per_step":
             (params, opt_state), loss, acc = _per_step_epoch(
-                step_fn, (params, opt_state), idx_all, key, xd, yd)
+                step_fn, (params, opt_state), idx_all, key, xd, yd,
+                conv=conv)
             return params, opt_state, loss, acc
         params, opt_state, loss, acc = epoch_fn(
             params, opt_state, jnp.asarray(idx_all), key, xd, yd)
-        return params, opt_state, float(loss), float(acc)
+        return params, opt_state, conv(loss), conv(acc)
 
     if val is None:
         return run_epoch, None
@@ -661,13 +692,15 @@ def _make_rnn_stage(net, opt, xd, yd, offsets, config, bs, val,
         idx_all = stream_batch_indices(shuffled, bs, 0, steps * L
                                        ).T.reshape(steps, L, bs
                                                    ).transpose(0, 2, 1)
+        conv = _metric_conv(config)
         if _resolve_dispatch(config) == "per_step":
             (params, opt_state, state), loss, acc = _per_step_epoch(
-                step_fn, (params, opt_state, state), idx_all, key, xd, yd)
+                step_fn, (params, opt_state, state), idx_all, key, xd, yd,
+                conv=conv)
             return params, opt_state, state, loss, acc
         params, opt_state, state, loss, acc = epoch_fn(
             params, opt_state, state, jnp.asarray(idx_all), key, xd, yd)
-        return params, opt_state, state, float(loss), float(acc)
+        return params, opt_state, state, conv(loss), conv(acc)
 
     state0 = state_cast(net.init_state(bs))
     if config.mesh is not None:

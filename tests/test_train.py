@@ -130,6 +130,29 @@ def test_dispatch_modes_equivalent(syn, net_name, kwargs):
     assert _resolve_dispatch(TrainConfig(stages=[])) == "scan"
 
 
+def test_defer_metrics_same_history(syn):
+    """defer_metrics=True keeps per-epoch metrics as device scalars
+    until training ends; the finalized history must equal the eager
+    run's values exactly."""
+    _, corpus = syn
+    net = get_network("ff", 1, [16], 16)
+
+    def run(defer):
+        cfg = TrainConfig(
+            stages=[TrainStage(epoch=3, optimizer="adam", batch_size=64,
+                               lr=1e-3, early_stopping=False)],
+            seed=0, log=None, use_validation=False, defer_metrics=defer)
+        return train_network(net, corpus.train.data, corpus.train.targets,
+                             cfg)
+
+    eager = run(False)
+    deferred = run(True)
+    for ha, hb in zip(eager.history, deferred.history):
+        assert isinstance(hb["main/loss"], float)
+        assert ha["main/loss"] == hb["main/loss"]
+        assert ha["main/accuracy"] == hb["main/accuracy"]
+
+
 def test_multi_stage_switches_optimizer(syn):
     _, corpus = syn
     net = get_network("ff", 1, [16], 16)
