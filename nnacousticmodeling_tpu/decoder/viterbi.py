@@ -60,11 +60,14 @@ class DecodeResult:
 class ViterbiDecoder:
     """Decodes log-posterior matrices into phone segmentations.
 
-    ``backend``: "auto" picks the Pallas VMEM-resident kernel
-    (``viterbi_pallas.py``) for dense cube images when running on TPU
-    and the XLA scan path otherwise; "pallas" forces the kernel
-    (interpreted off-TPU, for tests); "xla" forces the scan path.  The
-    ``NNAM_VITERBI_BACKEND`` env var overrides "auto".
+    ``backend``: "auto" picks, in order, the right-context-collapsed
+    Pallas kernel (``viterbi_collapsed.py`` — the fastest path), the
+    dense cube kernel (``viterbi_pallas.py``), then the XLA scan path,
+    degrading whenever an image's structure is unsupported; off-TPU
+    "auto" is always the XLA path. "collapsed"/"pallas" force the
+    respective kernel (interpreted off-TPU, for tests); "xla" forces
+    the scan path. The ``NNAM_VITERBI_BACKEND`` env var overrides
+    "auto".
     """
 
     def __init__(self, image: HmmImage, pip: float = 20.0, lmw: float = 1.0,
