@@ -311,6 +311,24 @@ def test_collapsed_midsize_images(num_phones):
                                       np.asarray(want_end)[u, :l])
 
 
+def test_collapsed_midsize_matches_native(tmp_path):
+    """Mid-size regime (P=9, Pp=32) straight against the strongest
+    oracle: the prebuilt native recognizer's MLF output."""
+    rng = np.random.default_rng(44)
+    img = make_synthetic_image(num_phones=9, num_states=29, seed=44,
+                               pdf_tied_transitions=True)
+    lengths = [22, 9]
+    posteriors = [np.log(rng.dirichlet(np.ones(img.num_states), size=t)
+                         ).astype(np.float32) for t in lengths]
+    native = _decode_with_native(tmp_path, img, posteriors, -8.0, 1.0)
+    dec = ViterbiDecoder(img, pip=8.0, lmw=1.0, backend="collapsed")
+    for i, lp in enumerate(posteriors):
+        ours = dec.decode_one(lp)
+        theirs = native[f"utt{i:03d}"]
+        assert ours.phones == theirs.words
+        assert [b * 100000 for b, _, _ in ours.segments] == theirs.begins
+
+
 @pytest.mark.slow
 def test_collapsed_long_utterance_dynamic_pack():
     """T > 2046: the collapsed kernel keeps decoding via a per-pack
