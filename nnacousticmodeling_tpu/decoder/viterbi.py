@@ -168,14 +168,21 @@ class ViterbiDecoder:
         else:
             self._time_pack_for(t)
 
+    @staticmethod
+    def _grow_pack(t: int) -> int:
+        """Smallest power-of-two pack > t+1 (>= TIME_PACK) — the one
+        packing-growth rule shared by every backend."""
+        pack = TIME_PACK
+        while pack <= t + 1:
+            pack *= 2
+        return pack
+
     def _collapsed_pack_for(self, t: int) -> int:
         """Pack factor for a T-frame collapsed decode. The collapsed
         rows pack only the LEFT CONTEXT, so the ceiling is P * pack —
         far above the XLA/cube paths' num_triphones * pack bound (a
         TIMIT-scale image decodes ~45M frames instead of ~19k)."""
-        pack = TIME_PACK
-        while pack <= t + 1:
-            pack *= 2
+        pack = self._grow_pack(t)
         if self.image.num_phones * pack >= 2 ** 31:
             raise ValueError(
                 f"utterance of {t} frames exceeds the collapsed "
@@ -329,9 +336,7 @@ class ViterbiDecoder:
         """Packing factor for a T-frame decode: the smallest power of
         two > T+1 (>= 2048, matching the Pallas kernel's fixed factor
         for short utterances). Static per compiled shape."""
-        pack = TIME_PACK
-        while pack <= t + 1:
-            pack *= 2
+        pack = self._grow_pack(t)
         if self.image.num_triphones * pack >= 2 ** 31:
             raise ValueError(
                 f"utterance of {t} frames exceeds the packed-backpointer "

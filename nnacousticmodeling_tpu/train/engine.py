@@ -418,12 +418,17 @@ def train_network(
                 entry["validation/main/accuracy"] = float(val_acc)
             history.append(entry)
             if config.log is not None:
-                # formatting deferred metrics forces their fetch — a
-                # fully async run needs log=None
-                log("  " + "  ".join(
-                    f"{k}={float(v):.4f}"
-                    if not isinstance(v, (bool, int, str)) else f"{k}={v}"
-                    for k, v in entry.items()))
+                def _fmt(k, v):
+                    if isinstance(v, (bool, int, str)):
+                        return f"{k}={v}"
+                    if isinstance(v, float):
+                        return f"{k}={v:.4f}"
+                    # device scalar under defer_metrics: formatting it
+                    # would force the fetch the flag exists to avoid —
+                    # values land in history at training end
+                    return f"{k}=<deferred>"
+                log("  " + "  ".join(_fmt(k, v)
+                                     for k, v in entry.items()))
 
             stop = False
             if use_val:
